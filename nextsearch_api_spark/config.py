@@ -1,0 +1,94 @@
+"""Engine-wide constants and configuration.
+
+BM25 parameters and clamps are pinned to the reference:
+  - k1=1.2, b=0.75            (reference: src/api_engine.cpp:375-376)
+  - idf = ln(1 + (N-df+0.5)/(df+0.5))   (reference: src/api_engine.cpp:45-47)
+  - k clamped to [1, 100] for search, [1, 10] for suggest
+                               (reference: src/api_engine.cpp:377,171)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    k1: float = 1.2
+    b: float = 0.75
+    # 'f32' reproduces the reference's float32 arithmetic (rank-identity vs the
+    # golden oracle); 'f64' is bit-compatible with SQL oracles (DuckDB doubles).
+    precision: str = "f32"
+
+
+# Search / suggest result-count clamps (reference: api_engine.cpp:377,171).
+SEARCH_K_MIN, SEARCH_K_MAX = 1, 100
+SUGGEST_K_MIN, SUGGEST_K_MAX = 1, 10
+
+# Minimum token length kept by the indexer & query parser
+# (reference: src/ForwardIndex.cpp:147, src/api_engine.cpp:394).
+MIN_TOKEN_LEN = 2
+
+# Posting-list physical layout (north-rule extension — the reference stores raw
+# uncompressed u32 pairs, lexicon.cpp:122-126; we chunk + delta/varbyte-compress).
+CHUNK_SIZE = 4096          # postings per chunk row (the skew-split unit)
+SKIP_EVERY = 128           # skip-block stride inside a chunk (docs per block)
+
+# Autocomplete (reference: api_autocomplete.cpp:33-55 keeps top-10 per prefix).
+SUGGEST_TOP_PER_PREFIX = 10
+SUGGEST_MAX_PREFIX_LEN = 12  # bound prefix explosion; reference tries are unbounded
+
+# Default parallelism knobs (overridable per-session).
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+@dataclass(frozen=True)
+class IndexPaths:
+    """On-disk layout of a built index (the Parquet analog of the reference's
+    segment directory: stats.bin/docs.bin/lexicon_b*/inverted_b*, see
+    include/segment_writer.hpp:65-167)."""
+
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def lexicon(self) -> str:
+        return os.path.join(self.root, "lexicon")
+
+    @property
+    def suggest(self) -> str:
+        return os.path.join(self.root, "suggest")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+
+@dataclass
+class BuildConfig:
+    """Tunables for the index build pipeline."""
+
+    bm25: BM25Params = field(default_factory=BM25Params)
+    chunk_size: int = CHUNK_SIZE
+    skip_every: int = SKIP_EVERY
+    # Range partitions for the (term, doc_id) shuffle. At 100 TB this is the
+    # knob that spreads a hot term's postings across many partitions (the
+    # range partitioner samples the key distribution, so skewed terms are
+    # split across partition boundaries automatically; chunked posting rows
+    # make that safe).
+    postings_partitions: int | None = None  # None → spark.sql.shuffle.partitions
+    id_partitions: int | None = None        # doc-id assignment range partitions
+    build_suggest: bool = True
+    tokenizer: str = "sql"  # 'sql' (JVM codegen) or 'pandas' (Arrow UDF)

@@ -1,0 +1,102 @@
+"""Posting-list codec: delta + varbyte, vectorized NumPy.
+
+North-rule extension — the reference stores raw interleaved u32 (docId, tf)
+pairs (src/lexicon.cpp:122-126); we store, per chunk of up to CHUNK_SIZE
+postings (sorted by doc_id):
+
+    blob = varbyte(doc_gaps) || varbyte(tf) || varbyte(doc_len)
+
+with the two stream-boundary offsets kept as chunk-row columns. ``doc_len`` is
+denormalized into the blob (index-time join with the docs table) so the query
+path never joins postings against docs — the Spark analog of the reference's
+O(1) ``seg.docs[docId].doc_len`` array index (src/api_engine.cpp:477).
+
+Varbyte layout: little-endian 7-bit groups, MSB set on every byte except the
+last of a value (standard v-byte, public IR technique; e.g. Manning/Raghavan/
+Schütze IIR §5.3). Both encode and decode are vectorized — the only Python
+loops are over the max byte-width (≤10 iterations), never over postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "varbyte_encode",
+    "varbyte_decode",
+    "encode_chunk",
+    "decode_chunk",
+]
+
+
+def varbyte_encode(vals: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints to a v-byte stream."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    nb = np.ones(vals.size, dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        nb += v > 0
+        v >>= np.uint64(7)
+    ends = np.cumsum(nb)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    starts = ends - nb
+    rem = vals.copy()
+    for j in range(int(nb.max())):
+        mask = nb > j
+        pos = starts[mask] + j
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = np.where(nb[mask] - 1 == j, 0, 0x80).astype(np.uint8)
+        out[pos] = byte | cont
+        rem[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode a v-byte stream to a uint64 array (all values in the stream)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.nonzero(is_last)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    nb = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(nb.max())):
+        mask = nb > j
+        pos = starts[mask] + j
+        vals[mask] |= (b[pos] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return vals
+
+
+def encode_chunk(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, int, int]:
+    """Encode one posting chunk (doc_ids strictly ascending).
+
+    Returns (blob, tf_offset, dl_offset): byte offsets where the tf / doc_len
+    streams start inside the blob.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    g = varbyte_encode(gaps)
+    t = varbyte_encode(tfs)
+    d = varbyte_encode(dls)
+    return g + t + d, len(g), len(g) + len(t)
+
+
+def decode_chunk(
+    blob: bytes | memoryview, tf_off: int, dl_off: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one chunk → (doc_ids:int64, tfs:int64, dls:int64)."""
+    mv = memoryview(blob)
+    gaps = varbyte_decode(mv[:tf_off])
+    doc_ids = np.cumsum(gaps, dtype=np.int64)
+    tfs = varbyte_decode(mv[tf_off:dl_off]).astype(np.int64)
+    dls = varbyte_decode(mv[dl_off:]).astype(np.int64)
+    return doc_ids, tfs, dls

@@ -1,0 +1,85 @@
+"""Autocomplete — precomputed per-prefix top-10 suggestions table.
+
+Reference semantics (src/api_autocomplete.cpp): terms scored by df summed
+across segments (api_engine.cpp:93-108; one logical segment here ⇒ plain df),
+normalized (lowercase alnum, :23-30), len≥2 (:105-110), ranked by
+(score desc, term asc) (:113-119), each trie node keeping its best 10
+(update_top :33-55). Query: only the LAST alnum token of the input is
+completed; the preceding text is echoed as a prefix (:160-169).
+
+Spark-first: instead of a trie we explode every term into its prefixes and
+keep the top-10 per prefix with a window — one shuffle, O(total prefix count),
+servable as a broadcast dict or by Parquet prefix lookup.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nextsearch_api_spark.config import (
+    SUGGEST_K_MAX,
+    SUGGEST_K_MIN,
+    SUGGEST_MAX_PREFIX_LEN,
+    SUGGEST_TOP_PER_PREFIX,
+)
+
+
+def build_suggest(lexicon: DataFrame,
+                  top: int = SUGGEST_TOP_PER_PREFIX,
+                  max_prefix_len: int = SUGGEST_MAX_PREFIX_LEN) -> DataFrame:
+    """lexicon(term, df, ...) → (prefix, term, score, rnk) with rnk ≤ top."""
+    pref = (
+        lexicon.select("term", F.col("df").alias("score"))
+        .where(F.length("term") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, least(length(term), {max_prefix_len})),"
+                    " i -> substring(term, 1, i))"
+                )
+            ).alias("prefix"),
+            "term",
+            "score",
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        pref.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top)
+    )
+
+
+_LAST_TOKEN_RE = re.compile(r"([a-z0-9]+)$")
+
+
+def split_suggest_input(q: str) -> tuple[str, str]:
+    """Split input into (echo_base, last_token_normalized) — reference
+    api_autocomplete.cpp:160-173."""
+    norm = q.lower()
+    m = _LAST_TOKEN_RE.search(norm)
+    if not m:
+        return q, ""
+    return q[: m.start(1)], re.sub(r"[^a-z0-9]", "", m.group(1))
+
+
+class Suggester:
+    """Driver-side serving over the precomputed table (collected once —
+    the table is small: ≤10 rows per prefix)."""
+
+    def __init__(self, suggest_df: DataFrame):
+        rows = suggest_df.select("prefix", "term", "rnk").collect()
+        table: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:
+            table.setdefault(r["prefix"], []).append((r["rnk"], r["term"]))
+        self.table = {p: [t for _, t in sorted(v)] for p, v in table.items()}
+
+    def suggest(self, q: str, k: int = 5) -> list[str]:
+        k = max(SUGGEST_K_MIN, min(int(k), SUGGEST_K_MAX))
+        base, tok = split_suggest_input(q)
+        if not tok:
+            return []
+        cands = self.table.get(tok, [])
+        return [base + c for c in cands[:k]]

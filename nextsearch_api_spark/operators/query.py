@@ -1,0 +1,264 @@
+"""Batch BM25 query execution over the built index.
+
+Reproduces the reference's search pipeline (src/api_engine.cpp:369-541) as a
+declarative DataFrame plan:
+
+  query strings → tokenize + len/stopword filter (repeated terms keep
+  repeating — the loop at api_engine.cpp:449 scores a duplicated term twice)
+  → broadcast query-term table ⨝ lexicon (the ``seg.lex.find`` hash lookup,
+  :453-455; absent terms drop out via inner join) → postings scan pruned by
+  term predicate (Parquet min/max on the term-sorted files — the offset-seek
+  analog, :463-475) → vectorized chunk decode + float32 per-posting impact
+  (:478-479) → contribution = weight · idf · impact summed per (qid, doc)
+  (TAAT hash-agg, :480) → top-k per query by (score desc, doc_id asc) via
+  window row_number — Catalyst's TakeOrderedAndProject analog of the
+  reference's bounded heap (:427-504).
+
+Precision: 'f32' (default) reproduces the reference float32 arithmetic
+(idf and impact in float32, summation in float64 — SURVEY.md §7.3
+canonicalization); 'f64' computes everything in doubles, bit-compatible with
+SQL oracles.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    FloatType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from nextsearch_api_spark.config import (
+    BM25Params, IndexPaths, MIN_TOKEN_LEN, SEARCH_K_MAX, SEARCH_K_MIN,
+)
+from nextsearch_api_spark.functions.text import STOPWORD_SET, tokenize_py
+
+
+def parse_query(q: str) -> list[str]:
+    """Reference query parsing: tokenize, keep len≥2 non-stopwords, keep
+    duplicates (api_engine.cpp:388-397)."""
+    return [t for t in tokenize_py(q)
+            if len(t) >= MIN_TOKEN_LEN and t not in STOPWORD_SET]
+
+
+def clamp_k(k: int) -> int:
+    return max(SEARCH_K_MIN, min(int(k), SEARCH_K_MAX))
+
+
+def bm25_idf(N: int, df: np.ndarray, precision: str = "f32") -> np.ndarray:
+    """idf = ln(1 + (N-df+0.5)/(df+0.5)) — reference api_engine.cpp:45-47."""
+    if precision == "f32":
+        df32 = df.astype(np.float32)
+        return np.log(
+            np.float32(1.0)
+            + (np.float32(N) - df32 + np.float32(0.5)) / (df32 + np.float32(0.5))
+        ).astype(np.float32)
+    dfd = df.astype(np.float64)
+    return np.log(1.0 + (float(N) - dfd + 0.5) / (dfd + 0.5))
+
+
+@dataclass
+class QuerySpec:
+    qid: int
+    q: str
+    k: int = 10
+
+
+class IndexReader:
+    """Lazy handles on a built index's tables + stats."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+
+    @property
+    def N(self) -> int:
+        return int(self.stats["N"])
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.stats["avgdl"])
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    def lexicon(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.lexicon)
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docs)
+
+    def suggest_table(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.suggest)
+
+
+def _decode_score_udf(avgdl: float, params: BM25Params):
+    """mapInPandas: posting-chunk rows → (term, doc_id, impact)."""
+    k1_32, b_32 = np.float32(params.k1), np.float32(params.b)
+    k1_64, b_64 = float(params.k1), float(params.b)
+    avg32, avg64 = np.float32(avgdl), float(avgdl)
+    one = np.float32(1.0)
+    f32 = params.precision == "f32"
+
+    out_schema = StructType([
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("impact", FloatType() if f32 else DoubleType(), False),
+    ])
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+        from nextsearch_api_spark.functions.codec import decode_chunk
+        for pdf in batches:
+            terms_out, ids_out, imp_out = [], [], []
+            for term, tf_off, dl_off, blob in zip(
+                pdf["term"], pdf["tf_off"], pdf["dl_off"], pdf["blob"]
+            ):
+                doc_ids, tfs, dls = decode_chunk(blob, int(tf_off), int(dl_off))
+                if f32:
+                    tfv = tfs.astype(np.float32)
+                    dlv = dls.astype(np.float32)
+                    imp = (tfv * (k1_32 + one)
+                           / (tfv + k1_32 * (one - b_32 + b_32 * (dlv / avg32))))
+                    imp = imp.astype(np.float32)
+                else:
+                    tfv = tfs.astype(np.float64)
+                    dlv = dls.astype(np.float64)
+                    imp = (tfv * (k1_64 + 1.0)
+                           / (tfv + k1_64 * (1.0 - b_64 + b_64 * (dlv / avg64))))
+                terms_out.append(np.full(len(doc_ids), term, dtype=object))
+                ids_out.append(doc_ids)
+                imp_out.append(imp)
+            if not ids_out:
+                continue
+            yield pd.DataFrame({
+                "term": np.concatenate(terms_out),
+                "doc_id": np.concatenate(ids_out),
+                "impact": np.concatenate(imp_out),
+            })
+
+    return decode, out_schema
+
+
+def batch_search(
+    reader: IndexReader,
+    queries: Sequence[QuerySpec],
+    params: BM25Params | None = None,
+    hydrate: bool = False,
+) -> DataFrame:
+    """Run all queries in one Spark plan.
+
+    Returns (qid, rank, doc_id, score, found) — found = total matched docs for
+    the query (reference's ``total_found``, api_engine.cpp:495; with one
+    logical segment it equals distinct matched docs)."""
+    params = params or BM25Params()
+    spark = reader.spark
+
+    # driver-side query parsing (tiny), weight = occurrence count so repeated
+    # terms accumulate repeatedly like the reference's per-occurrence loop
+    qrows: list[tuple[int, str, int, int]] = []  # qid, term, occ, k
+    for qs in queries:
+        terms = parse_query(qs.q)
+        k = clamp_k(qs.k)
+        occ: dict[str, int] = {}
+        for t in terms:
+            occ[t] = occ.get(t, 0) + 1
+        for t, c in occ.items():
+            qrows.append((qs.qid, t, c, k))
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id long, score double, found long"
+        )
+
+    all_terms = sorted({t for _, t, _, _ in qrows})
+
+    # lexicon lookup for df → idf (small collect: |query terms| rows)
+    lex_rows = (
+        reader.lexicon()
+        .where(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    )
+    df_map = {r["term"]: int(r["df"]) for r in lex_rows}
+    present = [t for t in all_terms if t in df_map]
+    if not present:
+        qmeta = [(q.qid,) for q in queries]
+        base = spark.createDataFrame(qmeta, "qid long")
+        return base.select(
+            "qid", F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(0).cast("long").alias("found"),
+        ).where(F.lit(False))
+
+    dfs = np.array([df_map[t] for t in present], dtype=np.int64)
+    idfs = bm25_idf(reader.N, dfs, params.precision)
+    idf_map = dict(zip(present, idfs))
+
+    # (qid, term, widf, k): weight(=occ)·idf, precomputed driver-side
+    qterm_rows = [
+        (qid, t, float(occ) * float(idf_map[t]), k)
+        for qid, t, occ, k in qrows if t in idf_map
+    ]
+    qterms = spark.createDataFrame(
+        qterm_rows, "qid long, term string, widf double, k int"
+    )
+
+    # postings scan pruned to query terms (pushed filter → row-group pruning)
+    chunks = reader.postings().where(F.col("term").isin(present)).select(
+        "term", "tf_off", "dl_off", "blob"
+    )
+    decode, out_schema = _decode_score_udf(reader.avgdl, params)
+    impacts = chunks.mapInPandas(decode, schema=out_schema)
+
+    scored = (
+        impacts.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.col("impact").cast("double") * F.col("widf")).alias("score"),
+            F.first("k").alias("k"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    found = scored.groupBy("qid").agg(F.count("*").alias("found"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .join(found, "qid")
+        .select("qid", "rank", "doc_id", "score", "found")
+    )
+    if hydrate:
+        topk = topk.join(
+            reader.docs().select("doc_id", "uid", "repo", "path", "commit", "lang"),
+            "doc_id", "left",
+        ).select("qid", "rank", "doc_id", "score", "found",
+                 "uid", "repo", "path", "commit", "lang")
+    return topk
+
+
+def search_one(reader: IndexReader, q: str, k: int = 10,
+               params: BM25Params | None = None,
+               hydrate: bool = True) -> dict:
+    """Single-query convenience → reference-shaped JSON dict
+    (README.md:72-94: {query, k, segments, found, results[]})."""
+    df = batch_search(reader, [QuerySpec(0, q, k)], params, hydrate=hydrate)
+    rows = [r.asDict() for r in df.orderBy("rank").collect()]
+    found = rows[0]["found"] if rows else 0
+    results = []
+    for r in rows:
+        item = {"rank": r["rank"], "doc_id": r["doc_id"],
+                "score": float(r["score"]) if r["score"] is not None else None}
+        for col in ("uid", "repo", "path", "commit", "lang"):
+            if col in r and r[col] is not None:
+                item[col] = r[col]
+        results.append(item)
+    return {"query": q, "k": clamp_k(k), "segments": 1,
+            "found": int(found), "results": results}
