@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness: index-build throughput (files/sec) + BM25 query latency.
+
+Default mode (driver per-round): one JSON line to stdout —
+  {"metric": "index_build_seconds", "value": <sec>, "unit": "sec",
+   "queries": {<q>: <sec>, ...}, "sf": <sf>, "files_per_sec": ..., ...}
+
+Scaling mode (``--scaling``): runs the identical build at local[N] and
+local[4N] (sandbox stand-in for N vs 4N executors, per driver instruction),
+reports throughput at both + efficiency = (T_N / T_4N) / 4, and writes
+BENCH/BASELINE.md.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1) — its sf
+                       suffix scales the synthetic corpus size
+  SPARK_GRAFT_CPUS     cores for default mode (default 32)
+  BENCH_DOCS           override corpus size (docs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _mk_spark(cpus: int, shuffle: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"nextsearch-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(shuffle or max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+
+
+BENCH_QUERIES = [
+    ("q_hot1", "hotterm", 10),
+    ("q_mid1", "buffer", 10),
+    ("q_multi2", "load config", 10),
+    ("q_multi4", "cache flush token stream", 10),
+    ("q_rare", "heapsort parse", 10),
+    ("q_k100", "index merge", 100),
+    ("q_oov", "zzznotaterm buffer", 10),
+    ("q_dup", "buffer buffer score", 10),
+]
+
+
+def _corpus_size(sf: float) -> int:
+    if os.environ.get("BENCH_DOCS"):
+        return int(os.environ["BENCH_DOCS"])
+    return max(2000, int(400_000 * sf))
+
+
+def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
+                          workdir: str) -> dict:
+    """Build index from a materialized corpus + run the query set.
+    Returns timing dict. Corpus must already exist at corpus_path."""
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from nextsearch_api_spark.operators.build import build_index
+        from nextsearch_api_spark.operators.query import (
+            IndexReader, QuerySpec, batch_search,
+        )
+        from nextsearch_api_spark.sources.corpus import read_corpus
+
+        corpus = read_corpus(spark, corpus_path)
+        index_root = os.path.join(workdir, f"index_{cpus}")
+        shutil.rmtree(index_root, ignore_errors=True)
+
+        t0 = time.time()
+        build_index(spark, corpus, index_root, resume=False)
+        t_build = time.time() - t0
+
+        reader = IndexReader(spark, index_root)
+        # warm-up (JVM/Arrow paths) — excluded from timings
+        batch_search(reader, [QuerySpec(0, "buffer", 5)]).collect()
+
+        q_times: dict[str, float] = {}
+        for name, q, k in BENCH_QUERIES:
+            t0 = time.time()
+            batch_search(reader, [QuerySpec(0, q, k)]).collect()
+            q_times[name] = round(time.time() - t0, 4)
+
+        # all queries in ONE plan (the batch-mode amortization headline)
+        t0 = time.time()
+        batch_search(
+            reader, [QuerySpec(i, q, k) for i, (_, q, k) in enumerate(BENCH_QUERIES)]
+        ).collect()
+        q_times["q_all_batched"] = round(time.time() - t0, 4)
+
+        # interactive serving tier: driver-side block-max WAND (no Spark job)
+        from nextsearch_api_spark.operators.wand import WandEngine
+
+        t0 = time.time()
+        wand = WandEngine(index_root)
+        t_wand_load = time.time() - t0
+        wand_times: dict[str, float] = {}
+        for name, q, k in BENCH_QUERIES:
+            t0 = time.time()
+            wand.search(q, k)
+            wand_times[name] = round((time.time() - t0) * 1000, 2)  # ms
+
+        return {
+            "build_seconds": round(t_build, 3),
+            "files_per_sec": round(n_docs / t_build, 1),
+            "queries": q_times,
+            "wand_load_seconds": round(t_wand_load, 3),
+            "wand_query_ms": wand_times,
+        }
+    finally:
+        spark.stop()
+
+
+def materialize_corpus(cpus: int, n_docs: int, workdir: str) -> str:
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        from nextsearch_api_spark.sources.corpus import generate_corpus, write_corpus
+
+        path = os.path.join(workdir, "corpus")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            write_corpus(generate_corpus(spark, n_docs, seed=42), path,
+                         partition_by=None)
+        return path
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = _corpus_size(sf)
+    workdir = os.path.join(tempfile.gettempdir(), f"nsbench_sf{sf}_{n_docs}")
+    os.makedirs(workdir, exist_ok=True)
+
+    if "--scaling" in sys.argv:
+        lo = cpus // 4
+        corpus_path = materialize_corpus(cpus, n_docs, workdir)
+        r_lo = run_build_and_queries(lo, n_docs, corpus_path, workdir)
+        r_hi = run_build_and_queries(cpus, n_docs, corpus_path, workdir)
+        eff = (r_lo["build_seconds"] / r_hi["build_seconds"]) / (cpus / lo)
+        out = {
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sf": sf,
+            "n_docs": n_docs,
+            f"local[{lo}]": r_lo,
+            f"local[{cpus}]": r_hi,
+        }
+        print(json.dumps(out))
+        _write_baseline_md(out, lo, cpus, n_docs, sf)
+        return
+
+    corpus_path = materialize_corpus(cpus, n_docs, workdir)
+    r = run_build_and_queries(cpus, n_docs, corpus_path, workdir)
+    print(json.dumps({
+        "metric": "index_build_seconds",
+        "value": r["build_seconds"],
+        "unit": "sec",
+        "queries": r["queries"],
+        "sf": sf,
+        "n_docs": n_docs,
+        "files_per_sec": r["files_per_sec"],
+        "wand_query_ms": r["wand_query_ms"],
+        "wand_load_seconds": r["wand_load_seconds"],
+        "cpus": cpus,
+    }))
+
+
+def _write_baseline_md(out: dict, lo: int, hi: int, n_docs: int, sf: float) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    r_lo, r_hi = out[f"local[{lo}]"], out[f"local[{hi}]"]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH baseline — measured scaling (sandbox: local[{lo}] vs local[{hi}])
+
+Per driver instruction, two parallelism levels on one machine stand in for
+N- vs 4N-executor clusters. Same input ({n_docs} docs, seed=42, sf={sf}),
+identical build pipeline (resume disabled).
+
+| config | build sec | files/sec |
+|---|---|---|
+| local[{lo}] (N) | {r_lo['build_seconds']} | {r_lo['files_per_sec']} |
+| local[{hi}] (4N) | {r_hi['build_seconds']} | {r_hi['files_per_sec']} |
+
+**Scaling efficiency = (T_N / T_4N) / 4 = {out['value']}** (target ≥ 0.8)
+
+Per-query latency (sec), k per BENCH_QUERIES:
+
+| query | local[{lo}] | local[{hi}] |
+|---|---|---|
+""")
+        for name in r_lo["queries"]:
+            f.write(f"| {name} | {r_lo['queries'][name]} | {r_hi['queries'][name]} |\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -107,62 +107,38 @@ def assign_doc_ids(corpus: DataFrame, n_buckets: int | None = None,
         if sample:
             raw = [sample[(len(sample) * i) // B] for i in range(1, B)]
             bounds = sorted(set(raw))
-    sc = spark.sparkContext
-    bounds_bc = sc.broadcast(bounds)
 
-    def bucket_of(keys: pd.Series) -> pd.Series:
-        b = np.searchsorted(np.array(bounds_bc.value, dtype=object),
-                            keys.to_numpy(dtype=object), side="left")
-        return pd.Series(b.astype(np.int32), index=keys.index)
-
-    from pyspark.sql.functions import pandas_udf
-    bucket_udf = pandas_udf(bucket_of, IntegerType())
-
-    keyed = keyed.withColumn("_bucket", bucket_udf("_key"))
+    # bucket = count of bounds < key (== searchsorted-left) — a pure JVM
+    # expression over a literal array: no Python workers anywhere in the
+    # assignment, everything stays inside whole-stage codegen.
+    if bounds:
+        barr = F.array(*[F.lit(x) for x in bounds])
+        bucket_col = F.size(F.filter(barr, lambda x: x < F.col("_key")))
+    else:
+        bucket_col = F.lit(0)
+    keyed = keyed.withColumn("_bucket", bucket_col.cast("int"))
 
     # pass 1: per-bucket counts (column-pruned scan, tiny aggregate)
     counts = {r["_bucket"]: r["cnt"]
               for r in keyed.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()}
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     acc = 0
     for b in sorted(counts):
-        offsets[b] = acc
+        offsets.append((b, acc))
         acc += counts[b]
-    offsets_bc = sc.broadcast(offsets)
-
-    # pass 2: co-locate buckets, sort, add bucket-local positions
-    out_schema = StructType(
-        [f for f in corpus.schema.fields] + [StructField("doc_id", LongType(), False)]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_bucket int, _offset long")
     )
+
+    # pass 2: one shuffle by bucket; per-bucket row_number is a window over
+    # the bucket partition — JVM sort + codegen, no Python
     in_cols = [f.name for f in corpus.schema.fields]
-
-    def add_ids(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        seen: dict[int, int] = {}
-        offs = offsets_bc.value
-        for pdf in batches:
-            buckets = pdf["_bucket"].to_numpy()
-            local = np.empty(len(pdf), dtype=np.int64)
-            # rows arrive sorted by (_bucket, _key); count runs per bucket
-            i = 0
-            while i < len(buckets):
-                b = buckets[i]
-                j = i
-                while j < len(buckets) and buckets[j] == b:
-                    j += 1
-                start = seen.get(int(b), 0)
-                local[i:j] = np.arange(start, start + (j - i))
-                seen[int(b)] = start + (j - i)
-                i = j
-            out = pdf[in_cols].copy()
-            out["doc_id"] = np.array(
-                [offs[int(b)] for b in buckets], dtype=np.int64
-            ) + local + 1
-            yield out
-
+    from pyspark.sql import Window
+    w = Window.partitionBy("_bucket").orderBy("_key")
     return (
-        keyed.repartition(B, "_bucket")
-        .sortWithinPartitions("_bucket", "_key")
-        .mapInPandas(add_ids, schema=out_schema)
+        keyed.join(off_df, "_bucket")
+        .withColumn("doc_id", (F.col("_offset") + F.row_number().over(w)).cast("long"))
+        .select(*in_cols, "doc_id")
     )
 
 
@@ -184,33 +160,36 @@ def tokenize_tf(corpus_ids: DataFrame, tokenizer: str = "pandas") -> DataFrame:
         )
 
     def tok(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-        from nextsearch_api_spark.functions.text import STOPWORD_SET
-        sw = STOPWORD_SET
+        from nextsearch_api_spark.functions.text import STOPWORDS
+        sw = np.array(STOPWORDS, dtype=object)
         for pdf in batches:
-            toks = pdf["content"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-            ids_out: list[np.ndarray] = []
-            terms_out: list[np.ndarray] = []
-            tfs_out: list[np.ndarray] = []
-            dls_out: list[np.ndarray] = []
-            for did, lst in zip(pdf["doc_id"].to_numpy(), toks):
-                kept = [t for t in lst if len(t) >= 2 and t not in sw]
-                if not kept:
-                    continue
-                uniq, cnt = np.unique(np.array(kept, dtype=object),
-                                      return_counts=True)
-                k = uniq.size
-                ids_out.append(np.full(k, did, dtype=np.int64))
-                terms_out.append(uniq)
-                tfs_out.append(cnt.astype(np.int32))
-                dls_out.append(np.full(k, len(kept), dtype=np.int32))
-            if not ids_out:
+            # C-backed extraction; everything after is pure NumPy — the only
+            # per-doc Python is the findall list materialization
+            lists = pdf["content"].fillna("").str.lower().str.findall(r"[a-z0-9]{2,}")
+            lens = lists.str.len().to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
                 continue
+            flat = pd.Series(np.concatenate([np.array(x, dtype=object)
+                                             for x in lists if x]))
+            local = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            keep = ~flat.isin(sw).to_numpy()
+            flat = flat[keep]
+            local = local[keep]
+            # NOTE [a-z0-9]{2,} == findall('[a-z0-9]+') + len>=2 filter: a
+            # shorter run is a maximal run, so requiring 2+ inside the regex
+            # drops exactly the len<2 tokens (tests/test_text.py proves parity)
+            codes, uniques = pd.factorize(flat, sort=False)
+            nu = len(uniques)
+            combo = local * nu + codes
+            uc, cnt = np.unique(combo, return_counts=True)
+            did_local = (uc // nu).astype(np.int64)
+            term_code = (uc % nu).astype(np.int64)
+            doc_lens = np.bincount(local, minlength=len(pdf)).astype(np.int32)
             yield pd.DataFrame({
-                "doc_id": np.concatenate(ids_out),
-                "term": np.concatenate(terms_out),
-                "tf": np.concatenate(tfs_out),
-                "doc_len": np.concatenate(dls_out),
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[did_local],
+                "term": np.asarray(uniques, dtype=object)[term_code],
+                "tf": cnt.astype(np.int32),
+                "doc_len": doc_lens[did_local],
             })
 
     return corpus_ids.select("doc_id", "content").mapInPandas(
@@ -325,10 +304,29 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
     }
     runner = StageRunner(manifest, base_fp)
 
+    ids_path = os.path.join(out_root, "ids")
     forward_path = os.path.join(out_root, "forward")
 
+    def stage_ids() -> dict:
+        # One corpus pass: deterministic ids + content hashes, materialized so
+        # every later stage column-prunes what it needs (content only read by
+        # the forward tokenizer) and resume never re-runs the assignment.
+        ids = assign_doc_ids(corpus, cfg.id_partitions).select(
+            "doc_id",
+            F.substring(
+                F.sha2(F.concat_ws("", "repo", "path", "commit"), 256), 1, 16
+            ).alias("uid"),
+            "repo", "path", "commit", "lang",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+            "content",
+        )
+        ids.write.mode("overwrite").parquet(ids_path)
+        return {"rows": spark.read.parquet(ids_path).count()}
+
+    runner.run("ids", stage_ids, output=ids_path)
+
     def stage_forward() -> dict:
-        ids = assign_doc_ids(corpus, cfg.id_partitions)
+        ids = spark.read.parquet(ids_path)
         tokens = tokenize_tf(ids, cfg.tokenizer)
         tokens.write.mode("overwrite").parquet(forward_path)
         return {"rows": spark.read.parquet(forward_path).count()}
@@ -336,17 +334,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
     runner.run("forward", stage_forward, output=forward_path)
 
     def stage_docs() -> dict:
-        ids = assign_doc_ids(corpus, cfg.id_partitions)
         doc_lens = (
             spark.read.parquet(forward_path)
             .groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
         )
         docs = (
-            ids.withColumn(
-                "uid",
-                F.substring(F.sha2(F.concat_ws("", "repo", "path", "commit"), 256), 1, 16),
-            )
-            .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+            spark.read.parquet(ids_path).drop("content")
             # inner join drops zero-token docs, mirroring the reference
             # (src/ForwardIndex.cpp:152 skips empty docs entirely)
             .join(doc_lens, "doc_id", "inner")

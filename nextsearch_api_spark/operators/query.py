@@ -227,12 +227,14 @@ def batch_search(
             F.first("k").alias("k"),
         )
     )
+    # rank + found share one shuffle on qid (two windows, same partitioning);
+    # avoids recomputing the decode/score subtree for a separate found agg
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    found = scored.groupBy("qid").agg(F.count("*").alias("found"))
+    w_all = Window.partitionBy("qid")
     topk = (
         scored.withColumn("rank", F.row_number().over(w))
+        .withColumn("found", F.count("*").over(w_all))
         .where(F.col("rank") <= F.col("k"))
-        .join(found, "qid")
         .select("qid", "rank", "doc_id", "score", "found")
     )
     if hydrate:

@@ -1,0 +1,341 @@
+"""Interactive query engine: block-max WAND over the chunked index.
+
+North-rule extension — the reference scores EVERY posting of every query term
+(no pruning, src/api_engine.cpp:444-481). This module adds top-k pruning per
+Ding & Suel 2011 ("Faster top-k document retrieval using block-max indexes"),
+adapted to our chunk layout: each posting chunk carries ``max_impact`` (the
+float32 BM25 tf/dl factor upper bound) so the WAND pivot test can skip whole
+chunks whose combined upper bound cannot beat the current k-th score.
+
+Serving profile: the driver process holds the lexicon + chunk directory in
+memory (pandas), reads only the needed posting rows from Parquet via pyarrow
+dataset filters (no Spark job per query — the analog of the reference's
+lexicon hash lookup + file seek, api_engine.cpp:453-475), and scores with
+NumPy. Results are identical to the batch path and the golden oracle: same
+float32 impact/idf factors, float64 accumulation, (score desc, doc_id asc)
+tie-break.
+
+This is the single-node serving tier of the engine; the Spark batch path
+(operators/query.py) is the cluster-scale tier. Both read the same index.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from nextsearch_api_spark.config import BM25Params, IndexPaths
+from nextsearch_api_spark.functions.codec import decode_chunk
+from nextsearch_api_spark.operators.query import bm25_idf, clamp_k, parse_query
+
+
+@dataclass
+class _TermCursor:
+    """Iterator over one term's chunks (doc-ordered)."""
+
+    term: str
+    widf: float            # weight * idf (float64 of float32 factors)
+    chunks: "pd.DataFrame"  # noqa: F821  — rows: doc_lo, doc_hi, max_impact, __batch, __row
+    pos: int = 0           # current chunk index
+    decoded: tuple | None = None  # (doc_ids, impacts) of current chunk
+    ptr: int = 0           # position within decoded chunk
+
+    def exhausted(self) -> bool:
+        return self.pos >= len(self.chunks)
+
+    def current_doc(self) -> int:
+        if self.decoded is not None:
+            return int(self.decoded[0][self.ptr])
+        return int(self.chunks["doc_lo"].iat[self.pos])
+
+    def chunk_upper(self) -> float:
+        return float(self.chunks["max_impact"].iat[self.pos]) * self.widf
+
+
+class WandEngine:
+    def __init__(self, index_root: str, params: BM25Params | None = None):
+        import pyarrow.dataset as ds
+
+        self.params = params or BM25Params()
+        self.paths = IndexPaths(index_root)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+        self.N = int(self.stats["N"])
+        self.avgdl = float(self.stats["avgdl"])
+
+        # lexicon: small (vocab-sized) → pandas in RAM
+        lex = ds.dataset(self.paths.lexicon).to_table(
+            columns=["term", "df", "max_impact"]
+        ).to_pandas()
+        self._df = dict(zip(lex["term"], lex["df"].astype(np.int64)))
+
+        # chunk directory: metadata only (no blobs) — the lexicon offset-table
+        # analog. Kept in RAM; blobs are fetched lazily per query.
+        self._pdir = ds.dataset(self.paths.postings)
+        meta = self._pdir.to_table(
+            columns=["term", "doc_lo", "doc_hi", "count", "max_impact"]
+        ).to_pandas()
+        meta = meta.sort_values(["term", "doc_lo"], kind="mergesort")
+        self._chunk_meta = {t: g.reset_index(drop=True)
+                            for t, g in meta.groupby("term", sort=False)}
+
+        self._k1 = np.float32(self.params.k1)
+        self._b = np.float32(self.params.b)
+        self._avg32 = np.float32(self.avgdl)
+
+    # ------------------------------------------------------------- scoring --
+
+    def _load_term_chunks(self, terms: list[str]) -> dict[str, "pd.DataFrame"]:  # noqa: F821
+        """ONE filtered Parquet read for all query terms (term-sorted files →
+        row-group pruning via min/max stats; the offset-seek analog)."""
+        import pyarrow.dataset as ds
+        if not terms:
+            return {}
+        t = self._pdir.to_table(
+            columns=["term", "doc_lo", "tf_off", "dl_off", "blob"],
+            filter=ds.field("term").isin(terms),
+        ).to_pandas()
+        t = t.sort_values(["term", "doc_lo"], kind="mergesort")
+        return {term: g.reset_index(drop=True)
+                for term, g in t.groupby("term", sort=False)}
+
+    def _decode_impacts(self, row) -> tuple[np.ndarray, np.ndarray]:
+        doc_ids, tfs, dls = decode_chunk(
+            row["blob"], int(row["tf_off"]), int(row["dl_off"])
+        )
+        tf32 = tfs.astype(np.float32)
+        dl32 = dls.astype(np.float32)
+        one = np.float32(1.0)
+        imp = tf32 * (self._k1 + one) / (
+            tf32 + self._k1 * (one - self._b + self._b * (dl32 / self._avg32))
+        )
+        return doc_ids, imp.astype(np.float32)
+
+    # dense-array TAAT is used automatically when the doc-id space fits
+    DENSE_LIMIT = 64_000_000
+
+    def search(self, query: str, k: int = 10, mode: str = "auto",
+               prune: bool | None = None) -> dict:
+        """Top-k search; returns the reference JSON shape (README.md:72-94).
+
+        mode: 'taat' — vectorized exhaustive term-at-a-time (NumPy dense
+              accumulator; exactly the reference loop, api_engine.cpp:444-481);
+              'wand' — chunk-level block-max WAND (prunes chunk decodes; wins
+              when posting volume >> k and score spread is wide);
+              'auto' — taat when the candidate volume is small enough that
+              vectorized scoring beats pruning overhead, else wand.
+        """
+        if prune is not None:  # back-compat for tests
+            mode = "wand" if prune else "taat"
+        k = clamp_k(k)
+        terms = parse_query(query)
+        occ: dict[str, int] = {}
+        for t in terms:
+            occ[t] = occ.get(t, 0) + 1
+        qterms = [(t, c) for t, c in occ.items() if t in self._df]
+        if not qterms:
+            return {"query": query, "k": k, "segments": 1, "found": 0, "results": []}
+
+        dfs = np.array([self._df[t] for t, _ in qterms], dtype=np.int64)
+        idfs = bm25_idf(self.N, dfs, self.params.precision)
+
+        blob_cache = self._load_term_chunks([t for t, _ in qterms])
+        cursors: list[_TermCursor] = []
+        for (t, c), idf in zip(qterms, idfs):
+            cursors.append(
+                _TermCursor(term=t, widf=float(c) * float(idf),
+                            chunks=self._chunk_meta[t])
+            )
+
+        if mode == "auto":
+            max_doc = max(int(c.chunks["doc_hi"].max()) for c in cursors)
+            mode = "taat" if max_doc <= self.DENSE_LIMIT else "wand"
+        if mode == "taat":
+            return self._exhaustive(query, k, cursors, blob_cache)
+        return self._block_max_wand(query, k, cursors, blob_cache)
+
+    # The exhaustive path mirrors the reference TAAT loop exactly, fully
+    # vectorized: per-term np.add.at into a dense score accumulator, bounded
+    # top-k via argpartition — the in-process ground truth for WAND.
+    def _exhaustive(self, query, k, cursors, blob_cache) -> dict:
+        max_doc = max(int(c.chunks["doc_hi"].max()) for c in cursors)
+        if max_doc <= self.DENSE_LIMIT:
+            scores = np.zeros(max_doc + 1, dtype=np.float64)
+            for cur in cursors:
+                blobs = blob_cache[cur.term]
+                for row in blobs.itertuples(index=False):
+                    doc_ids, imp = self._decode_impacts_t(row)
+                    np.add.at(scores, doc_ids, imp.astype(np.float64) * cur.widf)
+            matched = np.nonzero(scores)[0]
+            found = int(matched.size)
+            if found == 0:
+                return self._finalize(query, k, {})
+            kk = min(k, found)
+            ms = scores[matched]
+            part = np.argpartition(-ms, kk - 1)[:kk]
+            # canonical tie-break (score desc, doc_id asc); matched is
+            # ascending so stable lexsort on (-score, doc) is exact
+            order = np.lexsort((matched[part], -ms[part]))
+            top = part[order]
+            return {
+                "query": query, "k": k, "segments": 1, "found": found,
+                "results": [
+                    {"rank": i + 1, "doc_id": int(matched[j]),
+                     "score": float(ms[j])}
+                    for i, j in enumerate(top)
+                ],
+            }
+        # sparse fallback (doc-id space too large for a dense array)
+        sdict: dict[int, float] = {}
+        for cur in cursors:
+            blobs = blob_cache[cur.term]
+            for row in blobs.itertuples(index=False):
+                doc_ids, imp = self._decode_impacts_t(row)
+                contrib = imp.astype(np.float64) * cur.widf
+                for d, s in zip(doc_ids.tolist(), contrib.tolist()):
+                    sdict[d] = sdict.get(d, 0.0) + s
+        return self._finalize(query, k, sdict)
+
+    def _decode_impacts_t(self, row) -> tuple[np.ndarray, np.ndarray]:
+        """Like _decode_impacts but for itertuples rows."""
+        doc_ids, tfs, dls = decode_chunk(row.blob, int(row.tf_off), int(row.dl_off))
+        tf32 = tfs.astype(np.float32)
+        dl32 = dls.astype(np.float32)
+        one = np.float32(1.0)
+        imp = tf32 * (self._k1 + one) / (
+            tf32 + self._k1 * (one - self._b + self._b * (dl32 / self._avg32))
+        )
+        return doc_ids, imp.astype(np.float32)
+
+    def _block_max_wand(self, query, k, cursors, blob_cache) -> dict:
+        """Chunk-level block-max WAND with a bounded min-heap.
+
+        Docs scored fully (disjunctive OR semantics, like the reference);
+        pruning only skips chunks that provably cannot produce a top-k doc.
+        ``found`` counts only the docs actually scored, so the WAND path
+        reports found=len(scored) like the exhaustive path ONLY when no
+        pruning triggered; callers needing the exact global found use
+        found_count()."""
+        # Implementation note: we do chunk-granular WAND — the pivot test uses
+        # per-chunk max_impact (tighter than a term-global upper bound). For
+        # each candidate doc range we decode at most one chunk per term.
+        heap: list[tuple[float, int]] = []   # (score, -doc) min-heap of top-k
+        scores: dict[int, float] = {}
+
+        EPS = 1e-9  # slack: uppers/scores are f64 sums of f32 factors; never
+        #             let a 1-ulp rounding difference prune a true top-k doc
+
+        def ensure_decoded(cur: _TermCursor):
+            if cur.decoded is None and not cur.exhausted():
+                row = blob_cache[cur.term].iloc[cur.pos]
+                cur.decoded = self._decode_impacts(row)
+                cur.ptr = 0
+
+        def advance_chunk(cur: _TermCursor):
+            cur.pos += 1
+            cur.decoded = None
+            cur.ptr = 0
+
+        def skip_to(cur: _TermCursor, target_doc: int):
+            """Move cursor to first doc >= target_doc. Chunk metadata
+            (doc_hi) lets whole chunks be skipped WITHOUT decoding — the
+            skip-block mechanism at chunk granularity."""
+            while not cur.exhausted():
+                if int(cur.chunks["doc_hi"].iat[cur.pos]) < target_doc:
+                    advance_chunk(cur)
+                    continue
+                ensure_decoded(cur)
+                ids = cur.decoded[0]
+                p = int(np.searchsorted(ids, target_doc, side="left"))
+                if p >= len(ids):
+                    advance_chunk(cur)
+                    continue
+                cur.ptr = p
+                return
+
+        threshold = -np.inf  # k-th best score so far (heap top)
+        active = list(cursors)
+        while True:
+            active = [c for c in active if not c.exhausted()]
+            if not active:
+                break
+            active.sort(key=lambda c: c.current_doc())
+            if len(heap) < k:
+                pivot_i = 0  # heap not full: every doc is a candidate
+            else:
+                ub = 0.0
+                pivot_i = -1
+                for i, c in enumerate(active):
+                    ub += c.chunk_upper()
+                    if ub >= threshold - EPS:
+                        pivot_i = i
+                        break
+            if pivot_i < 0:
+                # Even the sum of ALL current-chunk uppers can't reach the
+                # threshold. Docs up to the earliest current-chunk end are
+                # fully bounded by these chunks → skip them all at once.
+                # (Docs beyond min(doc_hi) may fall in later, possibly
+                # higher-impact chunks, so only skip to that boundary.)
+                boundary = min(int(c.chunks["doc_hi"].iat[c.pos]) for c in active)
+                for c in active:
+                    skip_to(c, boundary + 1)
+                continue
+            pivot_doc = active[pivot_i].current_doc()
+            if active[0].current_doc() < pivot_doc:
+                # align all cursors before the pivot to the pivot doc
+                for c in active[:pivot_i]:
+                    skip_to(c, pivot_doc)
+                continue
+            # pivot reached by the first cursor: fully score pivot_doc
+            s = 0.0
+            for c in active:
+                if c.exhausted():
+                    continue
+                ensure_decoded(c)
+                ids, imp = c.decoded
+                if c.ptr < len(ids) and int(ids[c.ptr]) == pivot_doc:
+                    s += float(imp[c.ptr]) * c.widf
+                    c.ptr += 1
+                    if c.ptr >= len(ids):
+                        advance_chunk(c)
+            scores[pivot_doc] = s
+            if len(heap) < k:
+                heapq.heappush(heap, (s, -pivot_doc))
+                if len(heap) == k:
+                    threshold = heap[0][0]
+            elif (s, -pivot_doc) > heap[0]:
+                heapq.heapreplace(heap, (s, -pivot_doc))
+                threshold = heap[0][0]
+
+        topk = {-d: s for s, d in heap}
+        return self._finalize(query, k, topk, found=len(scores))
+
+    def _finalize(self, query, k, scores: dict[int, float],
+                  found: int | None = None) -> dict:
+        items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return {
+            "query": query,
+            "k": k,
+            "segments": 1,
+            "found": len(scores) if found is None else found,
+            "results": [
+                {"rank": i + 1, "doc_id": d, "score": s}
+                for i, (d, s) in enumerate(items)
+            ],
+        }
+
+    def found_count(self, query: str) -> int:
+        """Exact distinct matched docs (reference 'found',
+        api_engine.cpp:495) without scoring — union of posting doc ids."""
+        terms = [t for t in set(parse_query(query)) if t in self._df]
+        seen: set[int] = set()
+        for chunks in self._load_term_chunks(terms).values():
+            for row in chunks.itertuples(index=False):
+                ids, _, _ = decode_chunk(row.blob, int(row.tf_off),
+                                         int(row.dl_off))
+                seen.update(ids.tolist())
+        return len(seen)
