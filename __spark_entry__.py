@@ -240,141 +240,64 @@ def q_suggest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content, keeper = min doc_id."""
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(F.md5("text").alias("content_md5"))
-        .agg(F.count("*").cast("long").alias("n_docs"),
-             F.min("doc_id").alias("keeper_doc_id"))
-    )
+    from nextsearch_api_spark.operators.dedup import exact_dedup
 
-
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct token 3-gram shingles per doc (MinHash input)."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')").alias("toks"),
-    )
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) >= 3 THEN "
-                "transform(sequence(1, size(toks) - 2), "
-                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
-                "' ', element_at(toks, i + 2))) "
-                "ELSE array() END"
-            )
-        ).alias("shingle"),
-    )
-    return sh.distinct()
+    return exact_dedup(_docs(spark, sf_dir), text_col="text")
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash: per (doc, seed) min of a deterministic 60-bit hash over
     3-gram shingles — the LSH building block."""
-    sh = _shingles(spark, sf_dir)
-    seeds = spark.createDataFrame([(s,) for s in _MINHASH_SEEDS], "seed int")
-    h = _md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select("doc_id", "seed", h.alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    from nextsearch_api_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), text_col="text",
+                              num_hashes=len(_MINHASH_SEEDS), shingle_n=3)
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (1 row per band): docs agreeing on any seed's minhash."""
-    sig = q_minhash_signatures(spark, sf_dir)
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b, (F.col("a.seed") == F.col("b.seed"))
-               & (F.col("a.minhash") == F.col("b.minhash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    from nextsearch_api_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir), text_col="text",
+                               num_hashes=len(_MINHASH_SEEDS),
+                               rows_per_band=1, shingle_n=3)
 
 
 def q_unigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup score for consecutive doc pairs (unigram
     token sets, pairs (i, i+1) for i < 99)."""
+    from nextsearch_api_spark.operators.dedup import jaccard_pairs
+
     td = _toks(spark, sf_dir).distinct()
-    sizes = td.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a, b = td.alias("a"), td.alias("b")
-    inter = (
-        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-               & (F.col("a.term") == F.col("b.term")))
-        .where(F.col("a.doc_id") < 99)
-        .groupBy(F.col("a.doc_id").alias("doc_a"))
-        .agg(F.count("*").alias("inter"))
+    pairs = (
+        _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") < 99)
+        .select(F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + 1).alias("doc_b"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
-    sb = sizes.select((F.col("doc_id") - 1).alias("doc_a"), F.col("c").alias("cb"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_a")
-        .select(
-            "doc_a",
-            (F.col("doc_a") + 1).alias("doc_b"),
-            F.round(F.col("inter")
-                    / (F.col("ca") + F.col("cb") - F.col("inter")), 6).alias("jaccard"),
-        )
-    )
+    return jaccard_pairs(td, pairs)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per doc over tf-weighted term hashes."""
-    tf = _tf(spark, sf_dir).withColumn("h", _md5_long(F.col("term")))
-    bits = tf.select(
-        "doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    )
-    s = bits.groupBy("doc_id", "b").agg(
-        F.sum(
-            F.when(F.expr("(h >> b) & 1") == 1, F.col("tf")).otherwise(-F.col("tf"))
-        ).alias("s")
-    )
-    return s.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << b")).otherwise(F.lit(0))
-        ).cast("long").alias("simhash")
-    )
+    from nextsearch_api_spark.operators.dedup import simhash
+
+    return simhash(_tf(spark, sf_dir), bits=32)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial fingerprint over the kept-token sequence."""
-    docs = _docs(spark, sf_dir)
-    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
-    return docs.select(
-        "doc_id",
-        F.expr(
-            "aggregate("
-            f"  filter(split(lower(text), '[^a-z0-9]+'), x -> x != '' AND length(x) >= 2 AND x NOT IN ({sw})),"
-            "  cast(0 as bigint),"
-            "  (acc, t) -> (acc * 31 + cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 1000000) % 1000000007"
-            ")"
-        ).alias("fingerprint"),
-    )
+    from nextsearch_api_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir), text_col="text")
 
 
 # ------------------------------------------------------- text analytics --
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals: token counts, stopword ratio, punct count."""
-    docs = _docs(spark, sf_dir)
-    all_toks = tokens_expr("text")
-    kept = kept_tokens_expr("text")
-    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_cnt = F.size(F.filter(all_toks, lambda x: F.array_contains(sw_arr, x)))
-    return docs.select(
-        "doc_id",
-        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")))
-        .cast("long").alias("ws_tokens"),
-        F.size(all_toks).cast("long").alias("alnum_tokens"),
-        F.size(kept).cast("long").alias("kept_tokens"),
-        stop_cnt.cast("long").alias("stopword_tokens"),
-        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("long")
-        .alias("punct_chars"),
-    )
+    from nextsearch_api_spark.operators.textstats import quality_signals
+
+    return quality_signals(_docs(spark, sf_dir), text_col="text")
 
 
 def q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,28 +314,12 @@ def q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs vec_id=0 (ANN baseline; E2/K7 analog —
     semantic_embedding.cpp:104-145 kNN over normalized vectors)."""
+    from nextsearch_api_spark.operators.similarity import cosine_topk
+
     emb = _emb(spark, sf_dir)
-    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    j = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
-    dot = F.expr(
-        "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)),"
-        " cast(0 as double), (acc, v) -> acc + v)"
-    )
-    nrm = F.expr(
-        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),"
-        " cast(0 as double), (acc, v) -> acc + v))"
-    )
-    qnrm = F.expr(
-        "sqrt(aggregate(transform(qv, x -> cast(x as double) * cast(x as double)),"
-        " cast(0 as double), (acc, v) -> acc + v))"
-    )
-    sims = j.select("vec_id", (dot / (nrm * qnrm)).alias("cos"))
-    w = Window.orderBy(F.desc(F.round("cos", 9)), F.asc("vec_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("rank", "vec_id", F.round("cos", 6).alias("cos_sim"))
-    )
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb.where(F.col("vec_id") != 0),
+                       [float(x) for x in qv], k=10)
 
 
 def q_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:

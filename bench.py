@@ -148,6 +148,11 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         lo = cpus // 4
+        # scaling evidence needs a CPU-bound build: job-scheduling overhead at
+        # small n makes local[8] ≈ local[32] regardless of the pipeline
+        n_docs = max(n_docs, int(os.environ.get("SCALING_DOCS", "160000")))
+        workdir = os.path.join(tempfile.gettempdir(), f"nsbench_scaling_{n_docs}")
+        os.makedirs(workdir, exist_ok=True)
         corpus_path = materialize_corpus(cpus, n_docs, workdir)
         r_lo = run_build_and_queries(lo, n_docs, corpus_path, workdir)
         r_hi = run_build_and_queries(cpus, n_docs, corpus_path, workdir)

@@ -1,0 +1,207 @@
+"""Python API / CLI — the serving surface of the engine.
+
+Mirrors the reference HTTP endpoints (src/api_server.cpp) at CLI/library
+level per SURVEY.md §2.8: search (:117-178), suggest (:180-195), reload
+(:203-210), health (:109-115), stats (:358-365). JSON shapes follow
+README.md:72-116. The AI endpoints (/api/ai_overview, /api/ai_summary) call
+an external LLM service in the reference (src/api_ai_overview.cpp) — out of
+scope here; ``Engine.hooks`` exposes the integration point.
+
+LRU result caching reproduces the reference's search cache semantics
+(include/api_engine.hpp:38-60): capacity 2600, key = raw query string + "|" +
+clamped k (api_engine.cpp:190-192,380-385 — note the RAW query: "Covid" and
+"covid" are distinct entries, a documented reference quirk we keep), persisted
+as JSON on every update (CACHE_SAVE_INTERVAL=1, api_engine.hpp:60).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import OrderedDict
+from typing import Any, Callable
+
+from nextsearch_api_spark.config import BM25Params
+from nextsearch_api_spark.operators.query import clamp_k
+from nextsearch_api_spark.operators.wand import WandEngine
+
+SEARCH_CACHE_CAP = 2600   # reference: api_engine.hpp:42
+
+
+class LruCache:
+    def __init__(self, cap: int, persist_path: str | None = None):
+        self.cap = cap
+        self.persist_path = persist_path
+        self.data: OrderedDict[str, Any] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+        if persist_path and os.path.exists(persist_path):
+            try:
+                with open(persist_path) as f:
+                    for k, v in json.load(f):
+                        self.data[k] = v
+            except Exception:
+                pass
+
+    def get(self, key: str):
+        if key in self.data:
+            self.data.move_to_end(key)
+            self.hits += 1
+            return self.data[key]
+        self.misses += 1
+        return None
+
+    def put(self, key: str, value: Any) -> None:
+        self.data[key] = value
+        self.data.move_to_end(key)
+        while len(self.data) > self.cap:
+            self.data.popitem(last=False)
+        if self.persist_path:  # save-every-update, like the reference
+            tmp = self.persist_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(list(self.data.items()), f)
+            os.replace(tmp, self.persist_path)
+
+
+class Engine:
+    """Single-node serving engine over a built index (the reference
+    Engine analog, api_engine.cpp:50-162 reload semantics)."""
+
+    def __init__(self, index_root: str, params: BM25Params | None = None,
+                 cache_dir: str | None = None):
+        self.index_root = index_root
+        self.params = params or BM25Params()
+        self.cache_dir = cache_dir
+        self.hooks: dict[str, Callable] = {}  # e.g. 'ai_overview' integration
+        self._counters = {"searches": 0, "suggests": 0, "reloads": 0}
+        self._load()
+
+    def _load(self) -> None:
+        t0 = time.time()
+        self.wand = WandEngine(self.index_root, self.params)
+        self._suggester = None  # lazy
+        persist = None
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            persist = os.path.join(self.cache_dir, "search_cache.json")
+        self.search_cache = LruCache(SEARCH_CACHE_CAP, persist)
+        self.load_seconds = time.time() - t0
+
+    # ----------------------------------------------------------- endpoints --
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "segments": 1,
+            "docs": self.wand.N,
+            "avgdl": self.wand.avgdl,
+        }
+
+    def search(self, q: str, k: int = 10) -> dict:
+        self._counters["searches"] += 1
+        kk = clamp_k(k)
+        key = f"{q}|{kk}"  # raw query string, reference quirk kept
+        t0 = time.time()
+        cached = self.search_cache.get(key)
+        if cached is not None:
+            out = dict(cached)
+            out["cached"] = True
+            out["total_time_ms"] = round((time.time() - t0) * 1000, 2)
+            return out
+        t1 = time.time()
+        out = self.wand.search(q, kk)
+        search_ms = (time.time() - t1) * 1000
+        out = self._hydrate(out)
+        out["search_time_ms"] = round(search_ms, 2)
+        self.search_cache.put(key, out)
+        out = dict(out)
+        out["cached"] = False
+        out["total_time_ms"] = round((time.time() - t0) * 1000, 2)
+        return out
+
+    def suggest(self, q: str, k: int = 5) -> dict:
+        self._counters["suggests"] += 1
+        sugg = self._get_suggester().suggest(q, k)
+        return {"query": q, "suggestions": sugg}
+
+    def reload(self) -> dict:
+        self._counters["reloads"] += 1
+        self._load()
+        return {"status": "reloaded", "load_seconds": round(self.load_seconds, 3)}
+
+    def stats(self) -> dict:
+        return {
+            **self._counters,
+            "cache_entries": len(self.search_cache.data),
+            "cache_hits": self.search_cache.hits,
+            "cache_misses": self.search_cache.misses,
+            "docs": self.wand.N,
+        }
+
+    # ------------------------------------------------------------ internal --
+
+    def _get_suggester(self):
+        if self._suggester is None:
+            import pyarrow.dataset as ds
+            tbl = ds.dataset(
+                os.path.join(self.index_root, "suggest")
+            ).to_table(columns=["prefix", "term", "rnk"]).to_pandas()
+            table: dict[str, list[tuple[int, str]]] = {}
+            for p, t, r in zip(tbl["prefix"], tbl["term"], tbl["rnk"]):
+                table.setdefault(p, []).append((int(r), t))
+            from nextsearch_api_spark.operators.autocomplete import Suggester
+            s = Suggester.__new__(Suggester)
+            s.table = {p: [t for _, t in sorted(v)] for p, v in table.items()}
+            self._suggester = s
+        return self._suggester
+
+    def _hydrate(self, out: dict) -> dict:
+        """Join top-k hits with doc metadata (reference hydration,
+        api_engine.cpp:508-532 — left-join semantics: missing meta tolerated)."""
+        if not out["results"]:
+            return out
+        import pyarrow.dataset as ds
+        ids = [r["doc_id"] for r in out["results"]]
+        meta = ds.dataset(os.path.join(self.index_root, "docs")).to_table(
+            columns=["doc_id", "uid", "repo", "path", "commit", "lang"],
+            filter=ds.field("doc_id").isin(ids),
+        ).to_pandas().set_index("doc_id")
+        for r in out["results"]:
+            if r["doc_id"] in meta.index:
+                row = meta.loc[r["doc_id"]]
+                r.update(uid=row["uid"], repo=row["repo"], path=row["path"],
+                         commit=row["commit"], lang=row["lang"])
+        return out
+
+
+def main() -> None:
+    """CLI: python -m nextsearch_api_spark.api <index_root> search "query" [k]"""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="nextsearch-api")
+    ap.add_argument("index_root")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("search")
+    sp.add_argument("query")
+    sp.add_argument("k", nargs="?", type=int, default=10)
+    sg = sub.add_parser("suggest")
+    sg.add_argument("query")
+    sg.add_argument("k", nargs="?", type=int, default=5)
+    sub.add_parser("health")
+    sub.add_parser("stats")
+    args = ap.parse_args()
+
+    eng = Engine(args.index_root)
+    if args.cmd == "search":
+        print(json.dumps(eng.search(args.query, args.k), indent=2))
+    elif args.cmd == "suggest":
+        print(json.dumps(eng.suggest(args.query, args.k), indent=2))
+    elif args.cmd == "health":
+        print(json.dumps(eng.health(), indent=2))
+    elif args.cmd == "stats":
+        print(json.dumps(eng.stats(), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are declarative DataFrame pipelines over a corpus
+``(doc_col: string id?, text_col: string)`` — no per-row Python; hashes are
+md5-derived 60-bit ints (deterministic, SQL-oracle-reproducible), shingling
+and banding are JVM expressions.
+
+Scale notes (100 TB discipline):
+  * exact_dedup — one hash-groupBy; map-side partial agg collapses dup keys
+    before the shuffle.
+  * minhash_signatures — explode(shingles) is the big intermediate; the
+    groupBy(doc, seed).min is a partial-agg-friendly shuffle keyed by doc
+    (never by shingle), so shingle skew is irrelevant.
+  * lsh_candidate_pairs — self-join keyed by (band, band_signature); bucket
+    sizes are bounded by near-duplicate cluster sizes, not corpus size. A
+    ``max_bucket`` guard drops degenerate buckets (e.g. empty-text docs)
+    that would otherwise produce quadratic pairs.
+  * simhash — bit fan-out is a constant (×bits) on the (doc,term,tf) stream;
+    the doc-keyed aggregation is partial-agg friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_long(col) -> "F.Column":
+    """60-bit deterministic hash (md5-hex prefix) — matches DuckDB's
+    cast(('0x'||substr(md5(x),1,15)) as bigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup → (content_md5, n_docs, keeper_doc_id)."""
+    return (
+        df.groupBy(F.md5(text_col).alias("content_md5"))
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min(id_col).alias("keeper_doc_id"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per doc (lowercase [a-z0-9]+ tokens)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')")
+        .alias("toks"),
+    )
+    joins = ", ' ', ".join(f"element_at(toks, i + {j})" for j in range(n))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat({joins})) ELSE array() END"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 4,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, seed, minhash) — num_hashes independent min-hashes."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    seeds = sh.sparkSession.createDataFrame(
+        [(s,) for s in range(num_hashes)], "seed int"
+    )
+    h = md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                          F.col("shingle")))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select("doc_id", "seed", h.alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 8,
+                        rows_per_band: int = 2, shingle_n: int = 3,
+                        max_bucket: int = 1000) -> DataFrame:
+    """MinHash-LSH near-dup candidates → (doc_a, doc_b).
+
+    Bands of ``rows_per_band`` signature rows; docs sharing a full band land
+    in the same bucket; pairs emitted per bucket (guarded by max_bucket)."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
+        .select("doc_id", "band", F.md5(F.to_json(F.col("sig"))).alias("bucket"))
+    )
+    guarded = band.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("bsz") <= max_bucket)
+    a, b = guarded.alias("a"), guarded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(tf: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) from a (doc_id, term, tf) stream."""
+    th = tf.withColumn("h", md5_long(F.col("term")))
+    b = th.select(
+        "doc_id", "tf", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    s = b.groupBy("doc_id", "b").agg(
+        F.sum(F.when(F.expr("(h >> b) & 1") == 1, F.col("tf"))
+              .otherwise(-F.col("tf"))).alias("s")
+    )
+    return s.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << b"))
+              .otherwise(F.lit(0))).cast("long").alias("simhash")
+    )
+
+
+def jaccard_pairs(token_sets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for given candidate pairs.
+
+    token_sets: (doc_id, term) DISTINCT; pairs: (doc_a, doc_b).
+    → (doc_a, doc_b, jaccard). The candidate set (from LSH) keeps this join
+    linear in |pairs|, never quadratic in docs."""
+    sizes = token_sets.groupBy("doc_id").agg(F.count("*").alias("c"))
+    ta = token_sets.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = token_sets.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        pairs.join(ta, "doc_a").join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter")),
+                        6).alias("jaccard"))
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring the reference's embedding kNN (brute-force cosine over
+L2-normalized vectors, src/semantic_embedding.cpp:104-145) at Spark scale:
+
+  * ``cosine_topk`` — exact brute-force: broadcast the query vector(s),
+    JVM-side zip_with/aggregate dot products (float64), distributed
+    TakeOrderedAndProject top-k. The baseline; O(N·d) per query but fully
+    scan-parallel — right answer for one-off queries at any N.
+  * ``ann_lsh`` — random-hyperplane LSH: vectors bucketed by the sign
+    pattern of dot products with ``n_planes`` deterministic hyperplanes
+    (seeded NumPy, broadcast into an Arrow-batched pandas UDF); queries probe
+    only their own bucket (plus optional multi-probe Hamming-1 neighbors).
+    Sub-linear reads at scale: the bucketed table is written partitioned by
+    bucket → partition pruning serves each probe.
+
+Both return (rank, vec_id, cos_sim) with deterministic (score desc, vec_id
+asc) tie-breaks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _norm_expr(col: str) -> str:
+    return (f"sqrt(aggregate(transform({col}, x -> cast(x as double) * cast(x as double)),"
+            " cast(0 as double), (acc, v) -> acc + v))")
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k vs one query vector. JVM expressions only."""
+    spark = emb.sparkSession
+    q = spark.createDataFrame([(list(map(float, query_vec)),)], "qv array<double>")
+    j = emb.crossJoin(F.broadcast(q))
+    cos = (
+        F.expr(_DOT.format(a=vec_col, b="qv"))
+        / (F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("qv")))
+    )
+    sims = j.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
+    w = Window.orderBy(F.desc(F.round("cos", 9)), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (public SimHash-for-vectors/LSH
+    construction, Charikar 2002)."""
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((n_planes, dim))
+    return H / np.linalg.norm(H, axis=1, keepdims=True)
+
+
+def lsh_bucket_udf(planes: np.ndarray):
+    """pandas UDF: array<float> embedding → int bucket (sign pattern)."""
+    H = planes.astype(np.float64)
+
+    def bucket(batch: pd.Series) -> pd.Series:
+        M = np.stack(batch.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        signs = (M @ H.T) > 0
+        out = np.zeros(len(batch), dtype=np.int64)
+        for i in range(H.shape[0]):
+            out |= signs[:, i].astype(np.int64) << i
+        return pd.Series(out.astype(np.int32), index=batch.index)
+
+    return F.pandas_udf(bucket, IntegerType())
+
+
+def build_ann_index(emb: DataFrame, out_path: str, n_planes: int = 12,
+                    seed: int = 42, vec_col: str = "embedding") -> np.ndarray:
+    """Materialize the LSH-bucketed table partitioned by bucket — partition
+    pruning then serves each probe with a 1/2^n_planes-ish scan."""
+    dim = len(emb.select(vec_col).first()[0])
+    H = hyperplanes(dim, n_planes, seed)
+    b = lsh_bucket_udf(H)
+    (emb.withColumn("bucket", b(F.col(vec_col)))
+        .repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(out_path))
+    return H
+
+
+def ann_lsh_topk(spark, index_path: str, planes: np.ndarray,
+                 query_vec: list[float], k: int = 10, multiprobe: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe the bucketed ANN index: exact cosine within the query's bucket
+    (+ Hamming-``multiprobe`` neighbor buckets). Recall/latency knob is
+    (n_planes, multiprobe)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    signs = (planes @ qv) > 0
+    base = 0
+    for i, s in enumerate(signs):
+        base |= int(s) << i
+    buckets = {base}
+    if multiprobe >= 1:
+        for i in range(planes.shape[0]):
+            buckets.add(base ^ (1 << i))
+    df = spark.read.parquet(index_path).where(
+        F.col("bucket").isin(sorted(buckets))  # → partition pruning
+    )
+    return cosine_topk(df, list(map(float, qv)), k, id_col, vec_col)

@@ -1,0 +1,117 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — the per-doc signal layer of a training-data
+pipeline. All JVM expressions (whole-stage codegen), no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nextsearch_api_spark.functions.text import STOPWORDS, kept_tokens_expr, tokens_expr
+
+_SW_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language identifier (public approach: stopword-hit-rate profiles)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "it", "with"),
+    "es": ("de", "la", "que", "el", "en", "los", "del", "las", "por", "un"),
+    "fr": ("le", "de", "la", "et", "les", "des", "en", "du", "une", "que"),
+    "de": ("der", "die", "und", "das", "von", "mit", "den", "ein", "im", "zu"),
+}
+
+
+def quality_signals(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals: token counts, stopword share, punct density."""
+    all_toks = tokens_expr(text_col)
+    kept = kept_tokens_expr(text_col)
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(all_toks, lambda x: F.array_contains(sw_arr, x)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+        .cast("long").alias("ws_tokens"),
+        F.size(all_toks).cast("long").alias("alnum_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        stop_cnt.cast("long").alias("stopword_tokens"),
+        F.length(F.regexp_replace(text_col, r"[a-zA-Z0-9\s]", "")).cast("long")
+        .alias("punct_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite 0-1 quality score (length, punct ratio, stopword balance) —
+    the filter stage of a data-curation pipeline."""
+    sig = quality_signals(df, text_col, id_col)
+    length_ok = F.least(F.col("alnum_tokens") / 100.0, F.lit(1.0))
+    punct_ratio = F.col("punct_chars") / F.greatest(F.col("alnum_tokens"), F.lit(1))
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio)
+    stop_ratio = F.col("stopword_tokens") / F.greatest(F.col("alnum_tokens"), F.lit(1))
+    # natural prose has SOME stopwords; code/noise has ~none or all
+    stop_ok = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3)) / F.lit(0.7)
+    return sig.select(
+        "doc_id",
+        F.round((length_ok * 0.4 + punct_ok * 0.3 + stop_ok * 0.3), 6)
+        .alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    (deterministic; 'und' when nothing matches)."""
+    toks = tokens_expr(text_col)
+
+    def contains(arr):
+        return lambda x: F.array_contains(arr, x)
+
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, contains(arr))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best["hits"].cast("long").alias("lang_hits"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish sub-token estimate
+    (letter runs / digit runs / single punct marks)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+        .cast("long").alias("ws_tokens"),
+        F.size(F.expr(
+            f"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"
+        )).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint over kept tokens
+    (near-identity signature; cheap doc version stamp)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            "aggregate("
+            f"  filter(split(lower({text_col}), '[^a-z0-9]+'),"
+            f"         x -> x != '' AND length(x) >= 2 AND x NOT IN ({_SW_SQL})),"
+            "  cast(0 as bigint),"
+            "  (acc, t) -> (acc * 31 + cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 1000000) % 1000000007"
+            ")"
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,144 @@
+"""Training-data pipeline operators: dedup, similarity, text-stats,
+multimodal plumbing — correctness on small deterministic inputs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (2, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (3, "completely different content about spark indexes"),
+        (4, "de la que el en los del las por un texto espanol"),
+        (5, ""),                                                      # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from nextsearch_api_spark.operators.dedup import exact_dedup
+
+    out = {r["keeper_doc_id"]: r["n_docs"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0,1 collapse; keeper = min id
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from nextsearch_api_spark.operators.dedup import lsh_candidate_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(docs, num_hashes=8,
+                                          rows_per_band=2).collect()}
+    assert (0, 1) in pairs                       # exact dups always collide
+    assert not any(3 in p for p in pairs)        # unrelated doc never pairs
+
+
+def test_jaccard_pairs(spark, docs):
+    from nextsearch_api_spark.operators.dedup import jaccard_pairs
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"))
+        .alias("term"),
+    ).distinct()
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(toks, pairs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 3) not in out or out[(0, 3)] < 0.2
+
+
+def test_simhash_similarity(spark, docs):
+    from nextsearch_api_spark.operators.dedup import simhash
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"))
+            .alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(tf, bits=32).collect()}
+    assert sh[0] == sh[1]  # identical docs → identical simhash
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_cosine_topk_and_ann(spark, tmp_path):
+    from nextsearch_api_spark.operators.similarity import (
+        ann_lsh_topk, build_ann_index, cosine_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(8) if i else base + rng.standard_normal(8) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = cosine_topk(emb, [float(x) for x in base], k=5).collect()
+    assert exact[0]["vec_id"] == 0 and exact[0]["cos_sim"] > 0.99
+
+    path = str(tmp_path / "ann")
+    H = build_ann_index(emb, path, n_planes=6, seed=42)
+    approx = ann_lsh_topk(spark, path, H, [float(x) for x in base], k=5).collect()
+    assert approx and approx[0]["vec_id"] == 0  # hot hit survives bucketing
+
+
+def test_quality_and_language(docs):
+    from nextsearch_api_spark.operators.textstats import (
+        language_id, quality_score, token_counts,
+    )
+
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q[0] > q[5]  # real sentence beats empty doc
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "es"
+    assert langs[5] == "und"
+
+    tc = {r["doc_id"]: (r["ws_tokens"], r["bpe_ish_tokens"])
+          for r in token_counts(docs).collect()}
+    assert tc[0][0] == 9
+    assert tc[5] == (0, 0)
+
+
+def test_fingerprint_order_sensitive(spark):
+    from nextsearch_api_spark.operators.textstats import fingerprint
+
+    d = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(d).collect()}
+    assert fp[0] == fp[2] and fp[0] != fp[1]
+
+
+def test_multimodal_plumbing(spark):
+    from nextsearch_api_spark.operators.multimodal import (
+        extract_features, frame_sample_plan, synth_media,
+    )
+
+    media = synth_media(spark, 30).cache()
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False).collect()
+
+    feats = extract_features(media, dim=8, fake=True).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # determinism across partitionings: features are payload-derived
+    feats2 = extract_features(media.repartition(7), dim=8, fake=True).collect()
+    m1 = {r["media_id"]: r["feature"] for r in feats}
+    m2 = {r["media_id"]: r["feature"] for r in feats2}
+    assert m1 == m2
+
+    plan = frame_sample_plan(media, every_ms=400)
+    rows = plan.collect()
+    assert rows and all(r["frame_ts_ms"] % 400 == 0 for r in rows)
