@@ -90,5 +90,17 @@ class BuildConfig:
     # make that safe).
     postings_partitions: int | None = None  # None → spark.sql.shuffle.partitions
     id_partitions: int | None = None        # doc-id assignment range partitions
+    # deterministic skew salt: postings shuffle keyed by (term, doc_id div
+    # doc_block); a hot term spreads over ~max_doc/doc_block partitions
+    doc_block: int = 65536
     build_suggest: bool = True
-    tokenizer: str = "sql"  # 'sql' (JVM codegen) or 'pandas' (Arrow UDF)
+    tokenizer: str = "arrow"  # 'arrow' (C kernels) | 'pandas' | 'sql' — same results
+    # 'segment' (default): NO-shuffle postings build — each doc-range input
+    # partition emits its own disjoint chunks (Lucene-segment style; token
+    # rows never cross the JVM↔Python boundary). 'global': shuffle by
+    # (term, doc_block) for globally consolidated per-term chunks.
+    postings_mode: str = "segment"
+    # materialize the (doc_id, term, tf, doc_len) forward index as a stage
+    # (needed by streaming delta compaction; the batch build derives doc_len
+    # with the pure-JVM tokenizer instead)
+    materialize_forward: bool = False

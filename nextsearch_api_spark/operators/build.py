@@ -13,17 +13,18 @@ Spark-first re-design (NOT a port):
     bucketed by sampled range bounds (deterministic given the seed), per-bucket
     counts give global offsets, a mapInPandas pass adds bucket-local positions.
     Scales to any corpus size; no driver bottleneck.
-  * tokenize+tf — one Arrow-batched mapInPandas pass emitting unique
+  * tokenize+tf — one Arrow-native mapInArrow pass emitting unique
     (doc_id, term, tf, doc_len) rows directly: the per-doc tf aggregation is
     local to the doc, so there is NO shuffle for the tf hash-agg at all
-    (map-side perfect combine; beats explode→groupBy).
-  * invert — ``repartitionByRange(term, doc_id)``: the range partitioner
-    samples the key distribution, so a super-hot term's postings are split
-    ACROSS partitions automatically (explicit skew handling; the salting
-    analog with ordered ranges instead of random salt, which keeps postings
-    globally sorted for free). Each partition then emits independent,
-    disjoint, doc-ordered CHUNKS of ≤ chunk_size postings — no giant
-    collect_list, bounded memory per task regardless of term skew.
+    (map-side perfect combine; beats explode→groupBy), and tokenization runs
+    entirely in Arrow C kernels.
+  * invert — hash-repartition by (term, doc_id div doc_block): a
+    DETERMINISTIC doc-range salt. A super-hot term's postings are split
+    ACROSS partitions (explicit skew handling) while each (term, block) stays
+    whole, so every partition emits independent, disjoint, doc-ordered CHUNKS
+    of ≤ chunk_size postings — no giant collect_list, bounded memory per task
+    regardless of term skew, no range-partitioner sampling pass, and a
+    run-to-run reproducible physical layout.
   * postings format — per chunk: delta+varbyte blob (doc gaps, tf, doc_len),
     skip docs every ``skip_every`` postings, float32 block-max impact
     (tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) upper bound for WAND).
@@ -76,6 +77,26 @@ POSTINGS_SCHEMA = StructType([
 _KEY_SEP = "\x01"
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from Parquet footers only — no Spark job."""
+    import pyarrow.dataset as ds
+    return ds.dataset(path).count_rows()
+
+
+def _fast_count(df: DataFrame) -> int:
+    """Row-count estimate for sampling decisions: Parquet footer metadata when
+    the plan is a straight file scan (an over-estimate is harmless for the
+    sample fraction), else a count job."""
+    try:
+        files = df.inputFiles()
+        if files and all(f.endswith(".parquet") for f in files):
+            import pyarrow.dataset as ds
+            return ds.dataset([f.replace("file:", "") for f in files]).count_rows()
+    except Exception:
+        pass
+    return df.count()
+
+
 # ---------------------------------------------------------------- doc ids --
 
 def assign_doc_ids(corpus: DataFrame, n_buckets: int | None = None,
@@ -93,7 +114,7 @@ def assign_doc_ids(corpus: DataFrame, n_buckets: int | None = None,
         "_key", F.concat_ws(_KEY_SEP, "repo", "path", "commit")
     )
 
-    n = keyed.count()
+    n = _fast_count(corpus)
     if n == 0:
         return keyed.drop("_key").withColumn("doc_id", F.lit(0).cast("long"))
     B = max(1, min(B, math.ceil(n / 16)))
@@ -144,9 +165,18 @@ def assign_doc_ids(corpus: DataFrame, n_buckets: int | None = None,
 
 # ---------------------------------------------------------------- tokenize --
 
-def tokenize_tf(corpus_ids: DataFrame, tokenizer: str = "pandas") -> DataFrame:
+def tokenize_tf(corpus_ids: DataFrame, tokenizer: str = "arrow") -> DataFrame:
     """(doc_id, term, tf, doc_len) — unique per (doc_id, term); zero-token
-    docs are dropped (reference: src/ForwardIndex.cpp:152)."""
+    docs are dropped (reference: src/ForwardIndex.cpp:152).
+
+    tokenizer='arrow' (default): everything — lower, regex split, length +
+    stopword filter, dictionary encode — runs in Arrow C kernels via
+    mapInArrow; the only NumPy work is the (doc, term) pair count. No Python
+    string objects are ever materialized. 'pandas' and 'sql' variants kept
+    for parity testing.
+    """
+    if tokenizer == "arrow":
+        return _tokenize_tf_arrow(corpus_ids)
     if tokenizer == "sql":
         toks = corpus_ids.select(
             "doc_id", kept_tokens_expr("content").alias("toks")
@@ -197,92 +227,372 @@ def tokenize_tf(corpus_ids: DataFrame, tokenizer: str = "pandas") -> DataFrame:
     )
 
 
+def doc_lengths(corpus_ids: DataFrame) -> DataFrame:
+    """(doc_id, doc_len) via Arrow C kernels — the cheap subset of the
+    tokenizer (split + filter + bincount; no dictionary encode, no tf)."""
+    from pyspark.sql.types import StructType as _St
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("doc_len", IntegerType(), False),
+    ])
+
+    def lens(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from nextsearch_api_spark.functions.text import STOPWORDS
+        sw = pa.array(list(STOPWORDS), type=pa.string())
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column("content")), "[^a-z0-9]+")
+            parent = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            keep = pc.and_kleene(
+                pc.greater_equal(pc.utf8_length(flat), 2),
+                pc.invert(pc.is_in(flat, value_set=sw)),
+            )
+            parent = pc.filter(parent, keep)
+            dl = np.bincount(parent.to_numpy(zero_copy_only=False),
+                             minlength=batch.num_rows).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(dl)],
+                names=["doc_id", "doc_len"],
+            )
+
+    return corpus_ids.select("doc_id", "content").mapInArrow(lens, schema=schema)
+
+
+def _tokenize_tf_arrow(corpus_ids: DataFrame) -> DataFrame:
+    def tok(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from nextsearch_api_spark.functions.text import STOPWORDS
+        sw = pa.array(list(STOPWORDS), type=pa.string())
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            content = batch.column("content")
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            toks = pc.split_pattern_regex(pc.utf8_lower(content), "[^a-z0-9]+")
+            parent = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            keep = pc.and_kleene(
+                pc.greater_equal(pc.utf8_length(flat), 2),
+                pc.invert(pc.is_in(flat, value_set=sw)),
+            )
+            flat = pc.filter(flat, keep)
+            parent = pc.filter(parent, keep)
+            if len(flat) == 0:
+                continue
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = enc.dictionary
+            local = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+            nu = len(vocab)
+            combo = local * nu + codes
+            uc, cnt = np.unique(combo, return_counts=True)
+            did_local = uc // nu
+            term_code = uc % nu
+            doc_lens = np.bincount(local, minlength=n_rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[did_local], type=pa.int64()),
+                    pc.take(vocab, pa.array(term_code)),
+                    pa.array(cnt.astype(np.int32), type=pa.int32()),
+                    pa.array(doc_lens[did_local].astype(np.int32), type=pa.int32()),
+                ],
+                names=["doc_id", "term", "tf", "doc_len"],
+            )
+
+    return corpus_ids.select("doc_id", "content").mapInArrow(
+        tok, schema=TOKENS_SCHEMA
+    )
+
+
 # ----------------------------------------------------------------- chunks --
+
+def _pa_postings_schema():
+    import pyarrow as pa
+    return pa.schema([
+        ("term", pa.string()),
+        ("doc_lo", pa.int64()),
+        ("doc_hi", pa.int64()),
+        ("count", pa.int32()),
+        ("sum_tf", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("max_impact", pa.float32()),
+        ("tf_off", pa.int32()),
+        ("dl_off", pa.int32()),
+        ("blob", pa.binary()),
+        ("skip_docs", pa.list_(pa.int64())),
+    ])
+
+
+def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
+                        k1, b, avgdl32, skip_every):
+    """Vectorized chunk emission from (term-code, doc)-sorted arrays and
+    chunk boundaries [cst, cen): whole-batch impact computation, reduceat
+    aggregates, ONE varbyte pass per stream, per-chunk byte slicing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nextsearch_api_spark.functions.codec import varbyte_encode_all
+
+    one = np.float32(1.0)
+    tf32 = tfs.astype(np.float32)
+    dl32 = dls.astype(np.float32)
+    imp_all = (tf32 * (k1 + one)
+               / (tf32 + k1 * (one - b + b * (dl32 / avgdl32)))).astype(np.float32)
+    m = int(cen[-1])  # rows covered by chunks (any held-back tail excluded)
+    gaps = np.empty(m, dtype=np.int64)
+    gaps[1:] = ids[1:m] - ids[: m - 1]
+    gaps[cst] = ids[cst]  # absolute doc_id at every chunk start
+    gbytes, goffs = varbyte_encode_all(gaps)
+    tbytes, toffs = varbyte_encode_all(tfs[:m])
+    dbytes, doffs = varbyte_encode_all(dls[:m])
+
+    sum_tf = np.add.reduceat(tfs[:m], cst)
+    max_tf = np.maximum.reduceat(tfs[:m], cst)
+    max_imp = np.maximum.reduceat(imp_all[:m], cst)
+
+    blobs: list[bytes] = []
+    tfo = np.empty(len(cst), dtype=np.int32)
+    dlo = np.empty(len(cst), dtype=np.int32)
+    skips: list[list[int]] = []
+    for i in range(len(cst)):
+        s, e = int(cst[i]), int(cen[i])
+        g = gbytes[goffs[s]:goffs[e]].tobytes()
+        t = tbytes[toffs[s]:toffs[e]].tobytes()
+        d = dbytes[doffs[s]:doffs[e]].tobytes()
+        blobs.append(g + t + d)
+        tfo[i] = len(g)
+        dlo[i] = len(g) + len(t)
+        skips.append(ids[s:e:skip_every].tolist())
+
+    term_out = pc.take(dictionary, pa.array(codes[cst].astype(np.int32)))
+    return pa.RecordBatch.from_arrays(
+        [
+            term_out,
+            pa.array(ids[cst]),
+            pa.array(ids[cen - 1]),
+            pa.array((cen - cst).astype(np.int32)),
+            pa.array(sum_tf.astype(np.int64)),
+            pa.array(max_tf.astype(np.int32)),
+            pa.array(max_imp.astype(np.float32)),
+            pa.array(tfo),
+            pa.array(dlo),
+            pa.array(blobs, type=pa.binary()),
+            pa.array(skips, type=pa.list_(pa.int64())),
+        ],
+        schema=_pa_postings_schema(),
+    )
+
+
+def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
+                                 cfg: BuildConfig) -> DataFrame:
+    """NO-SHUFFLE postings build (the default, Lucene-segment-style).
+
+    Input: (doc_id, content) where every input partition covers a contiguous,
+    disjoint doc-id range (true for the ids table: files are written per id
+    bucket in doc order, and parquet splits of a doc-ordered file keep ranges
+    disjoint). Each partition is one *segment*: fused Arrow tokenize →
+    in-partition lexsort by (term, doc_id) → chunk emission. Token rows are
+    born and consumed inside the Python worker — they NEVER cross the
+    JVM↔Python boundary and there is NO exchange: per-partition transfer is
+    content in (~split bytes), chunk rows out (~compressed postings).
+
+    Scale notes: chunks-per-term grows with partition count (like Lucene
+    segments); hot terms are naturally split by doc range. For extreme
+    partition counts, compact small chunks with a follow-up merge keyed by
+    term (cheap: per-term metadata, not postings, drives the decision). The
+    shuffle-based variant (build_posting_chunks) remains available as
+    cfg.postings_mode='global'."""
+    k1 = np.float32(cfg.bm25.k1)
+    b = np.float32(cfg.bm25.b)
+    avgdl32 = np.float32(avgdl)
+    chunk_size = cfg.chunk_size
+    skip_every = cfg.skip_every
+
+    def builder(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from nextsearch_api_spark.functions.text import STOPWORDS
+        sw = pa.array(list(STOPWORDS), type=pa.string())
+
+        term_parts: list = []   # arrow string arrays (no python objects)
+        ids_parts: list = []
+        tf_parts: list = []
+        dl_parts: list = []
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            content = batch.column("content")
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            toks = pc.split_pattern_regex(pc.utf8_lower(content), "[^a-z0-9]+")
+            parent = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            keep = pc.and_kleene(
+                pc.greater_equal(pc.utf8_length(flat), 2),
+                pc.invert(pc.is_in(flat, value_set=sw)),
+            )
+            flat = pc.filter(flat, keep)
+            parent = pc.filter(parent, keep)
+            if len(flat) == 0:
+                continue
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            local = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+            nu = len(enc.dictionary)
+            combo = local * nu + codes
+            uc, cnt = np.unique(combo, return_counts=True)
+            did_local = uc // nu
+            tcode = (uc % nu).astype(np.int64)
+            doc_lens = np.bincount(local, minlength=batch.num_rows)
+            term_parts.append(pc.take(enc.dictionary, pa.array(tcode)))
+            ids_parts.append(doc_ids[did_local])
+            tf_parts.append(cnt.astype(np.int64))
+            dl_parts.append(doc_lens[did_local].astype(np.int64))
+
+        if not ids_parts:
+            return
+        import pyarrow as pa  # noqa: F811 (re-import for clarity)
+        terms_all = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in term_parts]
+        )
+        enc_all = pc.dictionary_encode(terms_all)
+        if isinstance(enc_all, pa.ChunkedArray):
+            enc_all = enc_all.combine_chunks()
+        codes = enc_all.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        order = np.lexsort((ids, codes))
+        codes, ids, tfs, dls = codes[order], ids[order], tfs[order], dls[order]
+
+        n = len(codes)
+        change = codes[1:] != codes[:-1]
+        starts = np.nonzero(np.concatenate(([True], change)))[0]
+        ends = np.concatenate((starts[1:], [n]))
+        c_starts: list[int] = []
+        c_ends: list[int] = []
+        for s, e in zip(starts, ends):
+            for pos in range(s, e, chunk_size):
+                c_starts.append(pos)
+                c_ends.append(min(pos + chunk_size, e))
+        cst = np.array(c_starts, dtype=np.int64)
+        cen = np.array(c_ends, dtype=np.int64)
+        yield _chunks_recordbatch(enc_all.dictionary, codes, ids, tfs, dls,
+                                  cst, cen, k1, b, avgdl32, skip_every)
+
+    return corpus_ids.select("doc_id", "content").mapInArrow(
+        builder, schema=POSTINGS_SCHEMA
+    )
+
 
 def build_posting_chunks(tokens: DataFrame, avgdl: float, cfg: BuildConfig,
                          partitions: int | None = None) -> DataFrame:
     """tokens (doc_id, term, tf, doc_len) → chunked, compressed posting rows.
 
-    Range-partition by (term, doc_id): hot terms straddle partition
-    boundaries, giving disjoint doc-ranges per partition — each partition emits
-    its own chunks, naturally skew-split, memory bounded by chunk_size."""
+    Skew handling: hash-partition by (term, doc_block) where doc_block =
+    doc_id div cfg.doc_block — a DETERMINISTIC salt derived from doc ranges.
+    A hot term's postings spread across as many partitions as it has doc
+    blocks, while each (term, block)'s rows stay together and doc ranges of
+    different blocks never overlap — so every partition emits independent,
+    disjoint, doc-ordered chunks with memory bounded by chunk_size. Compared
+    to repartitionByRange this removes the range partitioner's sampling scan
+    (a full extra pass over the token stream) and makes the physical layout
+    reproducible run-to-run."""
     spark = tokens.sparkSession
     P = partitions or cfg.postings_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     k1 = np.float32(cfg.bm25.k1)
     b = np.float32(cfg.bm25.b)
-    one = np.float32(1.0)
     avgdl32 = np.float32(avgdl)
     chunk_size = cfg.chunk_size
     skip_every = cfg.skip_every
 
-    from nextsearch_api_spark.functions.codec import encode_chunk
+    def builder(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        """Arrow-native chunk builder. Term strings NEVER become Python
+        objects: the term column rides through as an Arrow array (dictionary-
+        encoded for group detection, pc.take for per-chunk output); numerics
+        are zero-copy NumPy.
 
-    def emit_chunks(pdf: "pd.DataFrame", complete_only: bool):  # noqa: F821
-        """Yield (chunk_rows, leftover_pdf). pdf sorted by (term, doc_id)."""
-        import pandas as pd
-        rows = []
-        terms = pdf["term"].to_numpy()
-        n = len(terms)
-        starts = np.nonzero(np.concatenate(([True], terms[1:] != terms[:-1])))[0]
-        ends = np.concatenate((starts[1:], [n]))
-        leftover = None
-        for s, e in zip(starts, ends):
-            is_last_term = e == n
-            pos = s
-            while pos < e:
-                hi = min(pos + chunk_size, e)
-                if complete_only and is_last_term and (e - pos) < chunk_size:
-                    leftover = pdf.iloc[pos:e]
-                    break
-                sl = pdf.iloc[pos:hi]
-                doc_ids = sl["doc_id"].to_numpy(dtype=np.int64)
-                tfs = sl["tf"].to_numpy(dtype=np.int64)
-                dls = sl["doc_len"].to_numpy(dtype=np.int64)
-                blob, tf_off, dl_off = encode_chunk(doc_ids, tfs, dls)
-                tf32 = tfs.astype(np.float32)
-                dl32 = dls.astype(np.float32)
-                imp = tf32 * (k1 + one) / (tf32 + k1 * (one - b + b * (dl32 / avgdl32)))
-                rows.append({
-                    "term": terms[s],
-                    "doc_lo": int(doc_ids[0]),
-                    "doc_hi": int(doc_ids[-1]),
-                    "count": int(len(doc_ids)),
-                    "sum_tf": int(tfs.sum()),
-                    "max_tf": int(tfs.max()),
-                    "max_impact": float(np.float32(imp.max())),
-                    "tf_off": tf_off,
-                    "dl_off": dl_off,
-                    "blob": blob,
-                    "skip_docs": doc_ids[::skip_every].tolist(),
-                })
-                pos = hi
-            if leftover is not None:
-                break
-        return rows, leftover
+        Chunk runs break on (term, _blk) so chunks never span doc blocks —
+        two blocks of one term may share a partition while a block between
+        them lives elsewhere, and a spanning chunk would overlap its range."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    def builder(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
-        buf: "pd.DataFrame | None" = None
-        for pdf in batches:
-            if buf is not None and len(buf):
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-                buf = None
-            if not len(pdf):
+        def emit(tbl: "pa.Table", complete_only: bool):
+            terms = tbl.column("term").combine_chunks()
+            blks = tbl.column("_blk").to_numpy(zero_copy_only=False)
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            tfs = tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
+            enc = pc.dictionary_encode(terms)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            n = len(codes)
+            change = (codes[1:] != codes[:-1]) | (blks[1:] != blks[:-1])
+            starts = np.nonzero(np.concatenate(([True], change)))[0]
+            ends = np.concatenate((starts[1:], [n]))
+
+            # chunk boundaries (group-aligned) + leftover tail hold-back
+            leftover = None
+            c_starts: list[int] = []
+            c_ends: list[int] = []
+            for s, e in zip(starts, ends):
+                if complete_only and e == n and (e - s) % chunk_size != 0:
+                    tail = e - ((e - s) % chunk_size)
+                    leftover = tbl.slice(tail)
+                    e = tail
+                for pos in range(s, e, chunk_size):
+                    c_starts.append(pos)
+                    c_ends.append(min(pos + chunk_size, e))
+            if not c_starts:
+                return None, leftover
+            cst = np.array(c_starts, dtype=np.int64)
+            cen = np.array(c_ends, dtype=np.int64)
+            rb = _chunks_recordbatch(enc.dictionary, codes, ids,
+                                     tfs, dls, cst, cen,
+                                     k1, b, avgdl32, skip_every)
+            return rb, leftover
+
+        buf: "pa.Table | None" = None
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            rows, buf = emit_chunks(pdf, complete_only=True)
-            if rows:
-                yield pd.DataFrame(rows)
-        if buf is not None and len(buf):
-            rows, _ = emit_chunks(buf, complete_only=False)
-            if rows:
-                yield pd.DataFrame(rows)
+            tbl = pa.Table.from_batches([rb])
+            if buf is not None:
+                tbl = pa.concat_tables([buf, tbl]).combine_chunks()
+                buf = None
+            out_rb, buf = emit(tbl, complete_only=True)
+            if out_rb is not None:
+                yield out_rb
+        if buf is not None and buf.num_rows:
+            out_rb, _ = emit(buf, complete_only=False)
+            if out_rb is not None:
+                yield out_rb
 
     return (
-        tokens.repartitionByRange(P, "term", "doc_id")
+        tokens.withColumn("_blk", F.floor(F.col("doc_id") / cfg.doc_block))
+        .repartition(P, "term", "_blk")
         .sortWithinPartitions("term", "doc_id")
-        .mapInPandas(builder, schema=POSTINGS_SCHEMA)
+        .mapInArrow(builder, schema=POSTINGS_SCHEMA)
     )
 
 
@@ -299,6 +609,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
     )
     base_fp = {
         "chunk_size": cfg.chunk_size, "skip_every": cfg.skip_every,
+        "doc_block": cfg.doc_block, "postings_mode": cfg.postings_mode,
         "k1": cfg.bm25.k1, "b": cfg.bm25.b, "tokenizer": cfg.tokenizer,
         "corpus": _corpus_fingerprint(corpus),
     }
@@ -308,9 +619,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
     forward_path = os.path.join(out_root, "forward")
 
     def stage_ids() -> dict:
-        # One corpus pass: deterministic ids + content hashes, materialized so
-        # every later stage column-prunes what it needs (content only read by
-        # the forward tokenizer) and resume never re-runs the assignment.
+        # One corpus pass: deterministic ids + content hashes, materialized
+        # so later stages column-prune what they need (content is only read
+        # by the tokenizing passes) and resume never re-runs the assignment.
         ids = assign_doc_ids(corpus, cfg.id_partitions).select(
             "doc_id",
             F.substring(
@@ -321,33 +632,32 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             "content",
         )
         ids.write.mode("overwrite").parquet(ids_path)
-        return {"rows": spark.read.parquet(ids_path).count()}
+        return {"rows": _parquet_rows(ids_path)}
 
     runner.run("ids", stage_ids, output=ids_path)
 
-    def stage_forward() -> dict:
-        ids = spark.read.parquet(ids_path)
-        tokens = tokenize_tf(ids, cfg.tokenizer)
-        tokens.write.mode("overwrite").parquet(forward_path)
-        return {"rows": spark.read.parquet(forward_path).count()}
+    if cfg.materialize_forward:
+        def stage_forward() -> dict:
+            ids = spark.read.parquet(ids_path)
+            tokens = tokenize_tf(ids, cfg.tokenizer)
+            tokens.write.mode("overwrite").parquet(forward_path)
+            return {"rows": _parquet_rows(forward_path)}
 
-    runner.run("forward", stage_forward, output=forward_path)
+        runner.run("forward", stage_forward, output=forward_path)
 
     def stage_docs() -> dict:
-        doc_lens = (
-            spark.read.parquet(forward_path)
-            .groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
-        )
+        ids = spark.read.parquet(ids_path)
+        # doc_len via the Arrow tokenizer subset; doc_len > 0 drops
+        # zero-token docs, mirroring the reference (src/ForwardIndex.cpp:152)
+        dl = doc_lengths(ids).where(F.col("doc_len") > 0)
         docs = (
-            spark.read.parquet(ids_path).drop("content")
-            # inner join drops zero-token docs, mirroring the reference
-            # (src/ForwardIndex.cpp:152 skips empty docs entirely)
-            .join(doc_lens, "doc_id", "inner")
+            ids.drop("content")
+            .join(dl, "doc_id", "inner")
             .select("doc_id", "uid", "repo", "path", "commit", "lang",
                     "doc_len", "content_sha256")
         )
         docs.write.mode("overwrite").parquet(paths.docs)
-        return {"rows": spark.read.parquet(paths.docs).count()}
+        return {"rows": _parquet_rows(paths.docs)}
 
     runner.run("docs", stage_docs, output=paths.docs)
 
@@ -370,10 +680,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         stats = json.load(f)
 
     def stage_postings() -> dict:
-        tokens = spark.read.parquet(forward_path)
-        chunks = build_posting_chunks(tokens, stats["avgdl"], cfg)
+        if cfg.postings_mode == "segment":
+            ids = spark.read.parquet(ids_path).select("doc_id", "content")
+            chunks = build_posting_chunks_segment(ids, stats["avgdl"], cfg)
+        else:
+            tokens = (
+                spark.read.parquet(forward_path)
+                if cfg.materialize_forward
+                else tokenize_tf(spark.read.parquet(ids_path), cfg.tokenizer)
+            )
+            chunks = build_posting_chunks(tokens, stats["avgdl"], cfg)
         chunks.write.mode("overwrite").parquet(paths.postings)
-        return {"rows": spark.read.parquet(paths.postings).count()}
+        return {"rows": _parquet_rows(paths.postings)}
 
     runner.run("postings", stage_postings, output=paths.postings)
 
@@ -392,7 +710,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         lp = max(1, min(64, lex.rdd.getNumPartitions()))
         (lex.repartitionByRange(lp, "term").sortWithinPartitions("term")
             .write.mode("overwrite").parquet(paths.lexicon))
-        return {"rows": spark.read.parquet(paths.lexicon).count()}
+        return {"rows": _parquet_rows(paths.lexicon)}
 
     runner.run("lexicon", stage_lexicon, output=paths.lexicon)
 
@@ -402,7 +720,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             lex = spark.read.parquet(paths.lexicon)
             sug = build_suggest(lex)
             sug.write.mode("overwrite").parquet(paths.suggest)
-            return {"rows": spark.read.parquet(paths.suggest).count()}
+            return {"rows": _parquet_rows(paths.suggest)}
 
         runner.run("suggest", stage_suggest, output=paths.suggest)
 

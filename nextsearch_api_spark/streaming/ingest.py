@@ -125,7 +125,14 @@ def compact_deltas(spark: SparkSession, index_root: str,
 
     cfg = cfg or BuildConfig()
     paths = IndexPaths(index_root)
-    fw_main = spark.read.parquet(os.path.join(index_root, "forward"))
+    fw_path = os.path.join(index_root, "forward")
+    if not os.path.exists(fw_path):
+        # batch builds skip forward materialization by default; derive it
+        # once from the ids table so deltas have a base to merge into
+        from nextsearch_api_spark.operators.build import tokenize_tf
+        ids = spark.read.parquet(os.path.join(index_root, "ids"))
+        tokenize_tf(ids, cfg.tokenizer).write.parquet(fw_path)
+    fw_main = spark.read.parquet(fw_path)
     fw_delta = spark.read.parquet(delta_forward_dir)
     fw = fw_main.unionByName(fw_delta)
     # fold the deltas into the persisted forward index so the NEXT compaction

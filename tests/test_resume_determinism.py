@@ -63,7 +63,7 @@ def test_resume_skips_and_redoes(spark, corpus_path, tmp_path):
     from nextsearch_api_spark.config import BuildConfig
     m4 = build_index(spark, c, root, BuildConfig(chunk_size=512))
     ran4 = [k for k, v in m4.items() if not v.get("skipped")]
-    assert "postings" in ran4 and "forward" in ran4
+    assert "postings" in ran4 and "ids" in ran4
 
     # manifest carries lineage + throughput metrics (north rule)
     with open(IndexPaths(root).manifest) as f:
