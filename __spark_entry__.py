@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nextsearch_api_spark.functions.text import STOPWORDS, kept_tokens_expr, tokens_expr
+from nextsearch_api_spark.functions.text import STOPWORDS, kept_tokens_expr
 
 # ---------------------------------------------------------------- helpers --
 

@@ -69,10 +69,12 @@ class Engine:
     Engine analog, api_engine.cpp:50-162 reload semantics)."""
 
     def __init__(self, index_root: str, params: BM25Params | None = None,
-                 cache_dir: str | None = None):
+                 cache_dir: str | None = None,
+                 embeddings_path: str | None = None):
         self.index_root = index_root
         self.params = params or BM25Params()
         self.cache_dir = cache_dir
+        self.embeddings_path = embeddings_path
         self.hooks: dict[str, Callable] = {}  # e.g. 'ai_overview' integration
         self._counters = {"searches": 0, "suggests": 0, "reloads": 0}
         self._load()
@@ -80,6 +82,8 @@ class Engine:
     def _load(self) -> None:
         t0 = time.time()
         self.wand = WandEngine(self.index_root, self.params)
+        if self.embeddings_path:
+            self.wand.load_embeddings(self.embeddings_path)
         self._suggester = None  # lazy
         persist = None
         if self.cache_dir:

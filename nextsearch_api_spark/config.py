@@ -100,6 +100,9 @@ class BuildConfig:
     # rows never cross the JVM↔Python boundary). 'global': shuffle by
     # (term, doc_block) for globally consolidated per-term chunks.
     postings_mode: str = "segment"
+    # explicit segment count for 'segment' mode (None → follow input splits);
+    # uses repartitionByRange(doc_id) so segment doc-ranges stay disjoint
+    segment_partitions: int | None = None
     # materialize the (doc_id, term, tf, doc_len) forward index as a stage
     # (needed by streaming delta compaction; the batch build derives doc_len
     # with the pure-JVM tokenizer instead)

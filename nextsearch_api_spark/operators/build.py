@@ -76,6 +76,10 @@ POSTINGS_SCHEMA = StructType([
 
 _KEY_SEP = "\x01"
 
+# bump when the on-disk chunk/lexicon format changes — forces resume logic to
+# rebuild indexes created by older code
+FORMAT_VERSION = 2
+
 
 def _parquet_rows(path: str) -> int:
     """Row count from Parquet footers only — no Spark job."""
@@ -225,6 +229,39 @@ def tokenize_tf(corpus_ids: DataFrame, tokenizer: str = "arrow") -> DataFrame:
     return corpus_ids.select("doc_id", "content").mapInPandas(
         tok, schema=TOKENS_SCHEMA
     )
+
+
+def append_doc_len(df: DataFrame) -> DataFrame:
+    """Append a doc_len column (Arrow tokenize subset) to a DataFrame that
+    carries (doc_id, content, ...) — all other columns pass through as Arrow
+    buffers (no conversion cost)."""
+    out_schema = StructType(df.schema.fields + [
+        StructField("doc_len", IntegerType(), False)
+    ])
+
+    def app(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from nextsearch_api_spark.functions.text import STOPWORDS
+        sw = pa.array(list(STOPWORDS), type=pa.string())
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column("content")), "[^a-z0-9]+")
+            parent = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            keep = pc.and_kleene(
+                pc.greater_equal(pc.utf8_length(flat), 2),
+                pc.invert(pc.is_in(flat, value_set=sw)),
+            )
+            parent = pc.filter(parent, keep)
+            dl = np.bincount(parent.to_numpy(zero_copy_only=False),
+                             minlength=batch.num_rows).astype(np.int32)
+            yield batch.append_column("doc_len", pa.array(dl))
+
+    return df.mapInArrow(app, schema=out_schema)
 
 
 def doc_lengths(corpus_ids: DataFrame) -> DataFrame:
@@ -496,9 +533,12 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
         yield _chunks_recordbatch(enc_all.dictionary, codes, ids, tfs, dls,
                                   cst, cen, k1, b, avgdl32, skip_every)
 
-    return corpus_ids.select("doc_id", "content").mapInArrow(
-        builder, schema=POSTINGS_SCHEMA
-    )
+    src = corpus_ids.select("doc_id", "content")
+    if cfg.segment_partitions:
+        # explicit segment sizing; range partitioning by doc_id keeps the
+        # per-segment doc ranges disjoint (the correctness invariant)
+        src = src.repartitionByRange(cfg.segment_partitions, "doc_id")
+    return src.mapInArrow(builder, schema=POSTINGS_SCHEMA)
 
 
 def build_posting_chunks(tokens: DataFrame, avgdl: float, cfg: BuildConfig,
@@ -608,8 +648,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         paths.manifest, {"stages": {}, "created_at": time.time()}
     )
     base_fp = {
+        "format": FORMAT_VERSION,
         "chunk_size": cfg.chunk_size, "skip_every": cfg.skip_every,
         "doc_block": cfg.doc_block, "postings_mode": cfg.postings_mode,
+        "segment_partitions": cfg.segment_partitions,
         "k1": cfg.bm25.k1, "b": cfg.bm25.b, "tokenizer": cfg.tokenizer,
         "corpus": _corpus_fingerprint(corpus),
     }
@@ -619,9 +661,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
     forward_path = os.path.join(out_root, "forward")
 
     def stage_ids() -> dict:
-        # One corpus pass: deterministic ids + content hashes, materialized
+        # One corpus pass: deterministic ids + content hashes + doc_len (the
+        # Arrow tokenize subset, fused after the id exchange), materialized
         # so later stages column-prune what they need (content is only read
-        # by the tokenizing passes) and resume never re-runs the assignment.
+        # again by the postings tokenizer) and resume never re-runs the
+        # assignment.
         ids = assign_doc_ids(corpus, cfg.id_partitions).select(
             "doc_id",
             F.substring(
@@ -631,7 +675,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             F.sha2(F.col("content"), 256).alias("content_sha256"),
             "content",
         )
-        ids.write.mode("overwrite").parquet(ids_path)
+        append_doc_len(ids).write.mode("overwrite").parquet(ids_path)
         return {"rows": _parquet_rows(ids_path)}
 
     runner.run("ids", stage_ids, output=ids_path)
@@ -646,13 +690,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         runner.run("forward", stage_forward, output=forward_path)
 
     def stage_docs() -> dict:
-        ids = spark.read.parquet(ids_path)
-        # doc_len via the Arrow tokenizer subset; doc_len > 0 drops
-        # zero-token docs, mirroring the reference (src/ForwardIndex.cpp:152)
-        dl = doc_lengths(ids).where(F.col("doc_len") > 0)
+        # content-pruned scan of ids; doc_len > 0 drops zero-token docs,
+        # mirroring the reference (src/ForwardIndex.cpp:152)
         docs = (
-            ids.drop("content")
-            .join(dl, "doc_id", "inner")
+            spark.read.parquet(ids_path)
+            .where(F.col("doc_len") > 0)
             .select("doc_id", "uid", "repo", "path", "commit", "lang",
                     "doc_len", "content_sha256")
         )
@@ -707,7 +749,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         )
         # range-partition + sort by term → parquet min/max footer stats give
         # term-lookup pruning (the reference's barrel/offset seek analog)
-        lp = max(1, min(64, lex.rdd.getNumPartitions()))
+        lp = 64
         (lex.repartitionByRange(lp, "term").sortWithinPartitions("term")
             .write.mode("overwrite").parquet(paths.lexicon))
         return {"rows": _parquet_rows(paths.lexicon)}

@@ -1,0 +1,120 @@
+"""Posting-chunk compaction — the merge pass of the segment build model.
+
+The no-shuffle segment build (operators/build.py, postings_mode='segment')
+emits one chunk run per (term, input partition). At high partition counts,
+rare terms accumulate many tiny chunks (classic Lucene small-segment
+fragmentation). This operator consolidates them:
+
+  1. pick fragmented terms from the LEXICON ONLY (metadata decision — df,
+     n_chunks; no postings touched),
+  2. decode just those terms' chunks, re-chunk them via the shuffle-based
+     global builder (hash by (term, doc_block), doc-ordered, skew-safe),
+  3. union with the untouched chunks and atomically swap postings + lexicon.
+
+Cost is proportional to the fragmented fraction, not the index size — the
+hot terms that dominate postings bytes are usually NOT fragmented (they fill
+whole chunks in every partition), so compaction touches the long tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nextsearch_api_spark.config import BuildConfig, IndexPaths
+from nextsearch_api_spark.operators.build import (
+    TOKENS_SCHEMA, build_posting_chunks, _parquet_rows,
+)
+
+
+def decode_postings_to_tokens(chunks: DataFrame) -> DataFrame:
+    """Inverse of the chunk builder: posting chunks → (doc_id, term, tf,
+    doc_len) rows. Arrow-batched; used by compaction and delta merges."""
+    import pandas as pd
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        from nextsearch_api_spark.functions.codec import decode_chunk
+        for pdf in batches:
+            terms, ids, tfs, dls = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d_ids, d_tfs, d_dls = decode_chunk(
+                    row.blob, int(row.tf_off), int(row.dl_off))
+                terms.append(np.full(len(d_ids), row.term, dtype=object))
+                ids.append(d_ids)
+                tfs.append(d_tfs.astype(np.int32))
+                dls.append(d_dls.astype(np.int32))
+            if not ids:
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids),
+                "term": np.concatenate(terms),
+                "tf": np.concatenate(tfs),
+                "doc_len": np.concatenate(dls),
+            })
+
+    return chunks.select("term", "tf_off", "dl_off", "blob").mapInPandas(
+        dec, schema=TOKENS_SCHEMA
+    )
+
+
+def compact_postings(spark: SparkSession, index_root: str,
+                     cfg: BuildConfig | None = None,
+                     min_fill: float = 0.25) -> dict:
+    """Merge fragmented chunks. A term is fragmented when it has >1 chunk and
+    its mean chunk fill is below ``min_fill`` of chunk_size. Returns stats."""
+    cfg = cfg or BuildConfig()
+    paths = IndexPaths(index_root)
+    with open(paths.stats) as f:
+        stats = json.load(f)
+
+    lex = spark.read.parquet(paths.lexicon)
+    frag_terms = lex.where(
+        (F.col("n_chunks") > 1)
+        & (F.col("df") / F.col("n_chunks") < cfg.chunk_size * min_fill)
+    ).select("term")
+    n_frag = frag_terms.count()
+    if n_frag == 0:
+        return {"fragmented_terms": 0, "swapped": False}
+
+    postings = spark.read.parquet(paths.postings)
+    frag = postings.join(F.broadcast(frag_terms), "term", "left_semi")
+    keep = postings.join(F.broadcast(frag_terms), "term", "left_anti")
+
+    rebuilt = build_posting_chunks(
+        decode_postings_to_tokens(frag), stats["avgdl"], cfg
+    )
+    merged = keep.unionByName(rebuilt)
+    tmp = paths.postings + "_compact"
+    merged.write.mode("overwrite").parquet(tmp)
+
+    lex_new = (
+        spark.read.parquet(tmp).groupBy("term").agg(
+            F.sum("count").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"),
+            F.count("*").cast("int").alias("n_chunks"),
+            F.max("max_impact").alias("max_impact"),
+        )
+    )
+    lex_tmp = paths.lexicon + "_compact"
+    (lex_new.repartitionByRange(max(1, min(64, lex_new.rdd.getNumPartitions())),
+                                "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(lex_tmp))
+
+    for cur, new in ((paths.postings, tmp), (paths.lexicon, lex_tmp)):
+        bak = cur + "_old"
+        os.rename(cur, bak)
+        os.rename(new, cur)
+        shutil.rmtree(bak, ignore_errors=True)
+
+    return {
+        "fragmented_terms": int(n_frag),
+        "chunks_after": _parquet_rows(paths.postings),
+        "swapped": True,
+    }

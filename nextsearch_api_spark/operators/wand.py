@@ -86,6 +86,17 @@ class WandEngine:
         self._k1 = np.float32(self.params.k1)
         self._b = np.float32(self.params.b)
         self._avg32 = np.float32(self.avgdl)
+        # optional semantic expansion (reference: loaded embeddings ⇒ every
+        # search expands, api_engine.cpp:411-417; absent ⇒ weight-1.0 path)
+        self.expander = None
+
+    def load_embeddings(self, path: str) -> bool:
+        """Load a word-embedding text file filtered to lexicon terms
+        (the reference's left-semi embedding load, api_engine.cpp:118-123)."""
+        from nextsearch_api_spark.operators.expansion import SemanticExpander
+        exp = SemanticExpander.load_from_text(path, keep_terms=set(self._df))
+        self.expander = exp if exp.terms else None
+        return self.expander is not None
 
     # ------------------------------------------------------------- scoring --
 
@@ -133,10 +144,17 @@ class WandEngine:
             mode = "wand" if prune else "taat"
         k = clamp_k(k)
         terms = parse_query(query)
-        occ: dict[str, int] = {}
-        for t in terms:
-            occ[t] = occ.get(t, 0) + 1
-        qterms = [(t, c) for t, c in occ.items() if t in self._df]
+        if self.expander is not None:
+            # expansion mode: weighted, deduped terms (originals at 1.0)
+            qterms = [(t, w) for t, w in self.expander.expand(terms)
+                      if t in self._df]
+        else:
+            # raw mode: repeated terms accumulate repeatedly (the reference
+            # loop at api_engine.cpp:449 — weight = occurrence count)
+            occ: dict[str, float] = {}
+            for t in terms:
+                occ[t] = occ.get(t, 0.0) + 1.0
+            qterms = [(t, c) for t, c in occ.items() if t in self._df]
         if not qterms:
             return {"query": query, "k": k, "segments": 1, "found": 0, "results": []}
 
