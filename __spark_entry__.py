@@ -309,6 +309,40 @@ def q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts."""
+    from nextsearch_api_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir), text_col="text")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-1 quality score (length / punct / stopword balance)."""
+    from nextsearch_api_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir), text_col="text")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN probe (bucketed index, partition-pruned) —
+    non-SQL-expressible (seeded hyperplanes); rows-only driver check. The
+    exact-baseline twin q_cosine_topk IS oracle-checked."""
+    import tempfile
+
+    from nextsearch_api_spark.operators.similarity import (
+        ann_lsh_topk, build_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    path = os.path.join(tempfile.gettempdir(),
+                        "ns_ann_" + os.path.basename(os.path.normpath(sf_dir)))
+    H = build_ann_index(emb.where(F.col("vec_id") != 0), path,
+                        n_planes=8, seed=42)
+    return ann_lsh_topk(spark, path, H, qv, k=10, multiprobe=1)
+
+
 # ------------------------------------------------- similarity / vectors --
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
         "lang_dist": q_lang_dist,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "cosine_topk": q_cosine_topk,
         "label_centroid_norm": q_label_centroid_norm,
         "events_hourly": q_events_hourly,
@@ -534,6 +571,47 @@ FROM documents"""
     sql["lang_dist"] = """
 SELECT lang, count(*)::BIGINT AS n_docs, round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY 1"""
+
+    from nextsearch_api_spark.operators.textstats import LANG_PROFILES
+    hit_selects = []
+    for lang, words in LANG_PROFILES.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        hit_selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+            f"x -> x <> '' AND x IN ({wl})))::BIGINT AS h FROM documents"
+        )
+    hits_union = "\nUNION ALL\n".join(hit_selects)
+    sql["lang_id"] = f"""
+WITH hits AS (
+{hits_union}
+),
+best AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+  FROM hits)
+SELECT doc_id,
+       CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred,
+       h AS lang_hits
+FROM best WHERE rn = 1"""
+
+    sql["quality_score"] = f"""
+WITH sig AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::BIGINT AS alnum,
+    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x IN ({_SW_SQL})))::BIGINT AS stopw,
+    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::BIGINT AS punct
+  FROM documents)
+SELECT doc_id,
+  round(least(alnum / 100.0, 1.0) * 0.4
+        + greatest(0.0, 1.0 - punct / greatest(alnum, 1)) * 0.3
+        + (1.0 - abs(stopw / greatest(alnum, 1) - 0.3) / 0.7) * 0.3,
+        6) AS quality
+FROM sig"""
+    # ann_lsh_topk intentionally has NO oracle (seeded hyperplanes are not
+    # SQL-expressible) → driver records the weaker rows-only check.
 
     sql["cosine_topk"] = """
 WITH q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
