@@ -219,6 +219,20 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def q_engine_suggest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's PRECOMPUTED suggest table (built by the index pipeline:
+    per-prefix top-10 window over lexicon df) filtered to the fixed prefixes —
+    must equal the declarative SQL oracle."""
+    root = _engine_index(spark, sf_dir)
+    sug = spark.read.parquet(os.path.join(root, "suggest"))
+    pref = spark.createDataFrame([(p,) for p in _SUGGEST_PREFIXES], "prefix string")
+    return (
+        sug.join(F.broadcast(pref), "prefix")
+        .select("prefix", F.col("rnk").alias("rank"), "term",
+                F.col("score").cast("long").alias("df"))
+    )
+
+
 def q_suggest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6/K9: autocomplete ranking — per-prefix top-10 by (df desc, term asc)
     (api_autocomplete.cpp:33-55,113-119)."""
@@ -403,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_found": q_bm25_found,
         "engine_bm25_topk": q_engine_bm25_topk,
         "suggest_topk": q_suggest_topk,
+        "engine_suggest_topk": q_engine_suggest_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -484,6 +499,7 @@ cand AS (
   FROM pref JOIN term_df ON term_df.term LIKE pref.prefix || '%'
 )
 SELECT prefix, rank, term, df FROM cand WHERE rank <= 10"""
+    sql["engine_suggest_topk"] = sql["suggest_topk"]
 
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_md5, count(*)::BIGINT AS n_docs,

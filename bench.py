@@ -212,14 +212,22 @@ def main() -> None:
         # shared VM: noisy-neighbor steal spikes distort single runs — take
         # the best of N per config (capability measurement, interleaved)
         repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+        points = [int(x) for x in
+                  os.environ.get("SCALING_POINTS", "").split(",") if x]
         runs_lo, runs_hi = [], []
+        curve: dict[int, list[float]] = {p: [] for p in points}
         for _ in range(repeats):
             runs_lo.append(pinned_run(lo))
             runs_hi.append(pinned_run(cpus))
+            for p in points:
+                if p not in (lo, cpus):
+                    curve[p].append(pinned_run(p)["build_seconds"])
         r_lo = min(runs_lo, key=lambda r: r["build_seconds"])
         r_hi = min(runs_hi, key=lambda r: r["build_seconds"])
         r_lo["all_build_seconds"] = [r["build_seconds"] for r in runs_lo]
         r_hi["all_build_seconds"] = [r["build_seconds"] for r in runs_hi]
+        curve[lo] = r_lo["all_build_seconds"]
+        curve[cpus] = r_hi["all_build_seconds"]
         eff = (r_lo["build_seconds"] / r_hi["build_seconds"]) / (cpus / lo)
         out = {
             "metric": "scaling_efficiency",
@@ -229,6 +237,9 @@ def main() -> None:
             "n_docs": n_docs,
             f"local[{lo}]": r_lo,
             f"local[{cpus}]": r_hi,
+            "curve_best_seconds": {
+                str(p): min(v) for p, v in sorted(curve.items()) if v
+            },
         }
         print(json.dumps(out))
         _write_baseline_md(out, lo, cpus, n_docs, sf)
