@@ -33,7 +33,10 @@ MIN_TOKEN_LEN = 2
 # Posting-list physical layout (north-rule extension — the reference stores raw
 # uncompressed u32 pairs, lexicon.cpp:122-126; we chunk + delta/varbyte-compress).
 CHUNK_SIZE = 4096          # postings per chunk row (the skew-split unit)
-SKIP_EVERY = 128           # skip-block stride inside a chunk (docs per block)
+# (r1 stored intra-chunk skip-doc lists too; dropped in format v3 — WAND skips
+# at chunk granularity via doc_lo/doc_hi metadata, and without per-skip byte
+# offsets an intra-chunk skip list cannot avoid the sequential varbyte decode,
+# so the column was dead weight on every chunk row. See VERDICT r1 §wrong-3.)
 
 # Autocomplete (reference: api_autocomplete.cpp:33-55 keeps top-10 per prefix).
 SUGGEST_TOP_PER_PREFIX = 10
@@ -82,7 +85,6 @@ class BuildConfig:
 
     bm25: BM25Params = field(default_factory=BM25Params)
     chunk_size: int = CHUNK_SIZE
-    skip_every: int = SKIP_EVERY
     # Range partitions for the (term, doc_id) shuffle. At 100 TB this is the
     # knob that spreads a hot term's postings across many partitions (the
     # range partitioner samples the key distribution, so skewed terms are

@@ -26,7 +26,7 @@ Spark-first re-design (NOT a port):
     regardless of term skew, no range-partitioner sampling pass, and a
     run-to-run reproducible physical layout.
   * postings format — per chunk: delta+varbyte blob (doc gaps, tf, doc_len),
-    skip docs every ``skip_every`` postings, float32 block-max impact
+    float32 block-max impact
     (tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)) upper bound for WAND).
   * every stage materializes to Parquet and checkpoints via the lineage
     manifest (plans/checkpoint.py) — resume skips completed stages.
@@ -71,14 +71,13 @@ POSTINGS_SCHEMA = StructType([
     StructField("tf_off", IntegerType(), False),
     StructField("dl_off", IntegerType(), False),
     StructField("blob", BinaryType(), False),
-    StructField("skip_docs", ArrayType(LongType(), False), False),
 ])
 
 _KEY_SEP = "\x01"
 
 # bump when the on-disk chunk/lexicon format changes — forces resume logic to
 # rebuild indexes created by older code
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def _parquet_rows(path: str) -> int:
@@ -160,10 +159,15 @@ def assign_doc_ids(corpus: DataFrame, n_buckets: int | None = None,
     in_cols = [f.name for f in corpus.schema.fields]
     from pyspark.sql import Window
     w = Window.partitionBy("_bucket").orderBy("_key")
+    # ``seg`` = the id bucket. Buckets cover contiguous, disjoint doc-id
+    # ranges by construction (cumulative offsets in bucket order) — the
+    # segment-mode postings builder breaks chunks on seg boundaries so chunk
+    # doc-ranges stay globally disjoint no matter how the shuffle places
+    # buckets into output files or how the scan packs files into splits.
     return (
         keyed.join(off_df, "_bucket")
         .withColumn("doc_id", (F.col("_offset") + F.row_number().over(w)).cast("long"))
-        .select(*in_cols, "doc_id")
+        .select(*in_cols, "doc_id", F.col("_bucket").alias("seg"))
     )
 
 
@@ -368,12 +372,11 @@ def _pa_postings_schema():
         ("tf_off", pa.int32()),
         ("dl_off", pa.int32()),
         ("blob", pa.binary()),
-        ("skip_docs", pa.list_(pa.int64())),
     ])
 
 
 def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
-                        k1, b, avgdl32, skip_every):
+                        k1, b, avgdl32):
     """Vectorized chunk emission from (term-code, doc)-sorted arrays and
     chunk boundaries [cst, cen): whole-batch impact computation, reduceat
     aggregates, ONE varbyte pass per stream, per-chunk byte slicing."""
@@ -402,7 +405,6 @@ def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
     blobs: list[bytes] = []
     tfo = np.empty(len(cst), dtype=np.int32)
     dlo = np.empty(len(cst), dtype=np.int32)
-    skips: list[list[int]] = []
     for i in range(len(cst)):
         s, e = int(cst[i]), int(cen[i])
         g = gbytes[goffs[s]:goffs[e]].tobytes()
@@ -411,7 +413,6 @@ def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
         blobs.append(g + t + d)
         tfo[i] = len(g)
         dlo[i] = len(g) + len(t)
-        skips.append(ids[s:e:skip_every].tolist())
 
     term_out = pc.take(dictionary, pa.array(codes[cst].astype(np.int32)))
     return pa.RecordBatch.from_arrays(
@@ -426,7 +427,6 @@ def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
             pa.array(tfo),
             pa.array(dlo),
             pa.array(blobs, type=pa.binary()),
-            pa.array(skips, type=pa.list_(pa.int64())),
         ],
         schema=_pa_postings_schema(),
     )
@@ -436,14 +436,24 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
                                  cfg: BuildConfig) -> DataFrame:
     """NO-SHUFFLE postings build (the default, Lucene-segment-style).
 
-    Input: (doc_id, content) where every input partition covers a contiguous,
-    disjoint doc-id range (true for the ids table: files are written per id
-    bucket in doc order, and parquet splits of a doc-ordered file keep ranges
-    disjoint). Each partition is one *segment*: fused Arrow tokenize →
-    in-partition lexsort by (term, doc_id) → chunk emission. Token rows are
-    born and consumed inside the Python worker — they NEVER cross the
-    JVM↔Python boundary and there is NO exchange: per-partition transfer is
-    content in (~split bytes), chunk rows out (~compressed postings).
+    Input: (doc_id, content[, seg]). Each partition is one *segment*: fused
+    Arrow tokenize → in-partition lexsort by (term, doc_id) → chunk emission.
+    Token rows are born and consumed inside the Python worker — they NEVER
+    cross the JVM↔Python boundary and there is NO exchange: per-partition
+    transfer is content in (~split bytes), chunk rows out (~compressed
+    postings).
+
+    Disjointness invariant: every emitted chunk's [doc_lo, doc_hi] range must
+    be disjoint from every other chunk's of the same term, across ALL
+    partitions (the query tiers' cursor model depends on it). ``seg`` — the
+    id-assignment bucket, a contiguous disjoint doc-id range — enforces it:
+    chunks additionally break on seg boundaries, so a chunk's range is always
+    a sub-range of one seg. Without seg breaks the invariant silently relied
+    on ids files being doc-range-disjoint, which the shuffle's hash placement
+    of buckets into files does NOT guarantee (caught by an overlapping-chunk
+    WAND failure when building over a lang-partitioned corpus). Callers
+    without a seg column (single contiguous range per partition, e.g. after
+    repartitionByRange(doc_id)) may omit it.
 
     Scale notes: chunks-per-term grows with partition count (like Lucene
     segments); hot terms are naturally split by doc range. For extreme
@@ -455,7 +465,6 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
     b = np.float32(cfg.bm25.b)
     avgdl32 = np.float32(avgdl)
     chunk_size = cfg.chunk_size
-    skip_every = cfg.skip_every
 
     def builder(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
         import pyarrow as pa
@@ -468,12 +477,18 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
         ids_parts: list = []
         tf_parts: list = []
         dl_parts: list = []
+        seg_parts: list = []
 
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             content = batch.column("content")
             doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            seg_ids = (
+                batch.column("seg").to_numpy(zero_copy_only=False).astype(np.int64)
+                if "seg" in batch.schema.names
+                else np.zeros(batch.num_rows, dtype=np.int64)
+            )
             toks = pc.split_pattern_regex(pc.utf8_lower(content), "[^a-z0-9]+")
             parent = pc.list_parent_indices(toks)
             flat = pc.list_flatten(toks)
@@ -500,6 +515,7 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
             ids_parts.append(doc_ids[did_local])
             tf_parts.append(cnt.astype(np.int64))
             dl_parts.append(doc_lens[did_local].astype(np.int64))
+            seg_parts.append(seg_ids[did_local])
 
         if not ids_parts:
             return
@@ -515,11 +531,17 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
         ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tf_parts)
         dls = np.concatenate(dl_parts)
+        segs = np.concatenate(seg_parts)
         order = np.lexsort((ids, codes))
-        codes, ids, tfs, dls = codes[order], ids[order], tfs[order], dls[order]
+        codes, ids, tfs, dls, segs = (
+            codes[order], ids[order], tfs[order], dls[order], segs[order]
+        )
 
         n = len(codes)
-        change = codes[1:] != codes[:-1]
+        # chunk runs break on term AND seg change: segs are disjoint
+        # contiguous doc ranges, so along the (term, doc_id) sort each seg's
+        # docs are consecutive and the break keeps every chunk inside one seg
+        change = (codes[1:] != codes[:-1]) | (segs[1:] != segs[:-1])
         starts = np.nonzero(np.concatenate(([True], change)))[0]
         ends = np.concatenate((starts[1:], [n]))
         c_starts: list[int] = []
@@ -531,9 +553,12 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
         cst = np.array(c_starts, dtype=np.int64)
         cen = np.array(c_ends, dtype=np.int64)
         yield _chunks_recordbatch(enc_all.dictionary, codes, ids, tfs, dls,
-                                  cst, cen, k1, b, avgdl32, skip_every)
+                                  cst, cen, k1, b, avgdl32)
 
-    src = corpus_ids.select("doc_id", "content")
+    cols = ["doc_id", "content"]
+    if "seg" in [f.name for f in corpus_ids.schema.fields]:
+        cols.append("seg")
+    src = corpus_ids.select(*cols)
     if cfg.segment_partitions:
         # explicit segment sizing; range partitioning by doc_id keeps the
         # per-segment doc ranges disjoint (the correctness invariant)
@@ -562,7 +587,6 @@ def build_posting_chunks(tokens: DataFrame, avgdl: float, cfg: BuildConfig,
     b = np.float32(cfg.bm25.b)
     avgdl32 = np.float32(avgdl)
     chunk_size = cfg.chunk_size
-    skip_every = cfg.skip_every
 
     def builder(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
         """Arrow-native chunk builder. Term strings NEVER become Python
@@ -609,7 +633,7 @@ def build_posting_chunks(tokens: DataFrame, avgdl: float, cfg: BuildConfig,
             cen = np.array(c_ends, dtype=np.int64)
             rb = _chunks_recordbatch(enc.dictionary, codes, ids,
                                      tfs, dls, cst, cen,
-                                     k1, b, avgdl32, skip_every)
+                                     k1, b, avgdl32)
             return rb, leftover
 
         buf: "pa.Table | None" = None
@@ -649,7 +673,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
     )
     base_fp = {
         "format": FORMAT_VERSION,
-        "chunk_size": cfg.chunk_size, "skip_every": cfg.skip_every,
+        "chunk_size": cfg.chunk_size,
         "doc_block": cfg.doc_block, "postings_mode": cfg.postings_mode,
         "segment_partitions": cfg.segment_partitions,
         "k1": cfg.bm25.k1, "b": cfg.bm25.b, "tokenizer": cfg.tokenizer,
@@ -673,7 +697,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             ).alias("uid"),
             "repo", "path", "commit", "lang",
             F.sha2(F.col("content"), 256).alias("content_sha256"),
-            "content",
+            "content", "seg",
         )
         append_doc_len(ids).write.mode("overwrite").parquet(ids_path)
         return {"rows": _parquet_rows(ids_path)}
@@ -723,7 +747,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
 
     def stage_postings() -> dict:
         if cfg.postings_mode == "segment":
-            ids = spark.read.parquet(ids_path).select("doc_id", "content")
+            ids = spark.read.parquet(ids_path).select("doc_id", "content", "seg")
             chunks = build_posting_chunks_segment(ids, stats["avgdl"], cfg)
         else:
             tokens = (

@@ -35,25 +35,33 @@ from nextsearch_api_spark.operators.query import bm25_idf, clamp_k, parse_query
 
 @dataclass
 class _TermCursor:
-    """Iterator over one term's chunks (doc-ordered)."""
+    """Iterator over one term's chunks (doc-ordered, NumPy metadata)."""
 
     term: str
     widf: float            # weight * idf (float64 of float32 factors)
-    chunks: "pd.DataFrame"  # noqa: F821  — rows: doc_lo, doc_hi, max_impact, __batch, __row
+    doc_lo: np.ndarray     # int64, first doc id of each chunk (ascending)
+    doc_hi: np.ndarray     # int64, last doc id of each chunk (ascending)
+    maxes: np.ndarray      # float64, per-chunk max_impact · widf (block maxes)
+    gub: float             # term-global upper bound = maxes.max()
     pos: int = 0           # current chunk index
     decoded: tuple | None = None  # (doc_ids, impacts) of current chunk
     ptr: int = 0           # position within decoded chunk
 
+    @classmethod
+    def from_meta(cls, term: str, widf: float, chunks) -> "_TermCursor":
+        lo = chunks["doc_lo"].to_numpy(dtype=np.int64)
+        hi = chunks["doc_hi"].to_numpy(dtype=np.int64)
+        mx = chunks["max_impact"].to_numpy(dtype=np.float64) * widf
+        return cls(term=term, widf=widf, doc_lo=lo, doc_hi=hi, maxes=mx,
+                   gub=float(mx.max()) if len(mx) else 0.0)
+
     def exhausted(self) -> bool:
-        return self.pos >= len(self.chunks)
+        return self.pos >= len(self.doc_lo)
 
     def current_doc(self) -> int:
         if self.decoded is not None:
             return int(self.decoded[0][self.ptr])
-        return int(self.chunks["doc_lo"].iat[self.pos])
-
-    def chunk_upper(self) -> float:
-        return float(self.chunks["max_impact"].iat[self.pos]) * self.widf
+        return int(self.doc_lo[self.pos])
 
 
 class WandEngine:
@@ -80,6 +88,19 @@ class WandEngine:
             columns=["term", "doc_lo", "doc_hi", "count", "max_impact"]
         ).to_pandas()
         meta = meta.sort_values(["term", "doc_lo"], kind="mergesort")
+        # invariant the cursor model depends on: per term, chunk doc ranges
+        # are disjoint (⇒ doc_hi ascending along the doc_lo sort). Builds
+        # from format v3 break chunks on seg boundaries to guarantee this;
+        # fail fast on older/corrupt indexes instead of returning wrong top-k.
+        same_term = meta["term"].eq(meta["term"].shift())
+        overlaps = same_term & meta["doc_lo"].le(meta["doc_hi"].shift())
+        if bool(overlaps.any()):
+            nbad = int(overlaps.sum())
+            raise ValueError(
+                f"postings at {self.paths.postings} have {nbad} overlapping "
+                "chunk ranges (index predates format v3 segment breaks?); "
+                "rebuild the index"
+            )
         self._chunk_meta = {t: g.reset_index(drop=True)
                             for t, g in meta.groupby("term", sort=False)}
 
@@ -165,12 +186,12 @@ class WandEngine:
         cursors: list[_TermCursor] = []
         for (t, c), idf in zip(qterms, idfs):
             cursors.append(
-                _TermCursor(term=t, widf=float(c) * float(idf),
-                            chunks=self._chunk_meta[t])
+                _TermCursor.from_meta(t, float(c) * float(idf),
+                                      self._chunk_meta[t])
             )
 
         if mode == "auto":
-            max_doc = max(int(c.chunks["doc_hi"].max()) for c in cursors)
+            max_doc = max(int(c.doc_hi[-1]) for c in cursors)
             mode = "taat" if max_doc <= self.DENSE_LIMIT else "wand"
         if mode == "taat":
             return self._exhaustive(query, k, cursors, blob_cache)
@@ -180,7 +201,7 @@ class WandEngine:
     # vectorized: per-term np.add.at into a dense score accumulator, bounded
     # top-k via argpartition — the in-process ground truth for WAND.
     def _exhaustive(self, query, k, cursors, blob_cache) -> dict:
-        max_doc = max(int(c.chunks["doc_hi"].max()) for c in cursors)
+        max_doc = max(int(c.doc_hi[-1]) for c in cursors)
         if max_doc <= self.DENSE_LIMIT:
             scores = np.zeros(max_doc + 1, dtype=np.float64)
             for cur in cursors:
@@ -230,17 +251,22 @@ class WandEngine:
         return doc_ids, imp.astype(np.float32)
 
     def _block_max_wand(self, query, k, cursors, blob_cache) -> dict:
-        """Chunk-level block-max WAND with a bounded min-heap.
+        """Block-max WAND (Ding & Suel 2011) with a bounded min-heap.
+
+        Soundness: pivot selection uses each term's GLOBAL upper bound
+        (max over all its chunk maxes), so the classic WAND invariant holds —
+        any doc skipped by cursor advancement is provably below the threshold
+        regardless of which chunk it lives in. Per-chunk ``max_impact`` is
+        then a SECONDARY check: once a pivot is chosen, the sum of the block
+        maxes of the chunks actually containing the pivot decides whether to
+        decode, and a failed check skips forward only to the nearest block
+        boundary / next cursor doc — never past a chunk whose max was not
+        counted. (An earlier revision pivoted on current-chunk maxes, which
+        could jump over higher-impact later chunks; fixed per ADVICE r1.)
 
         Docs scored fully (disjunctive OR semantics, like the reference);
-        pruning only skips chunks that provably cannot produce a top-k doc.
-        ``found`` counts only the docs actually scored, so the WAND path
-        reports found=len(scored) like the exhaustive path ONLY when no
-        pruning triggered; callers needing the exact global found use
-        found_count()."""
-        # Implementation note: we do chunk-granular WAND — the pivot test uses
-        # per-chunk max_impact (tighter than a term-global upper bound). For
-        # each candidate doc range we decode at most one chunk per term.
+        ``found`` counts only the docs actually scored — callers needing the
+        exact global found use found_count()."""
         heap: list[tuple[float, int]] = []   # (score, -doc) min-heap of top-k
         scores: dict[int, float] = {}
 
@@ -258,22 +284,29 @@ class WandEngine:
             cur.decoded = None
             cur.ptr = 0
 
-        def skip_to(cur: _TermCursor, target_doc: int):
-            """Move cursor to first doc >= target_doc. Chunk metadata
-            (doc_hi) lets whole chunks be skipped WITHOUT decoding — the
-            skip-block mechanism at chunk granularity."""
-            while not cur.exhausted():
-                if int(cur.chunks["doc_hi"].iat[cur.pos]) < target_doc:
-                    advance_chunk(cur)
-                    continue
-                ensure_decoded(cur)
-                ids = cur.decoded[0]
-                p = int(np.searchsorted(ids, target_doc, side="left"))
-                if p >= len(ids):
-                    advance_chunk(cur)
-                    continue
-                cur.ptr = p
+        def shallow_to(cur: _TermCursor, target_doc: int):
+            """Metadata-only move to the first chunk with doc_hi >= target
+            (no decode) — the 'shallow' pointer move of BMW."""
+            if cur.exhausted() or int(cur.doc_hi[cur.pos]) >= target_doc:
                 return
+            pos = int(np.searchsorted(cur.doc_hi, target_doc, side="left"))
+            if pos != cur.pos:
+                cur.pos = pos
+                cur.decoded = None
+                cur.ptr = 0
+
+        def skip_to(cur: _TermCursor, target_doc: int):
+            """Move cursor to first posting with doc >= target_doc."""
+            shallow_to(cur, target_doc)
+            if cur.exhausted():
+                return
+            if cur.decoded is None and target_doc <= int(cur.doc_lo[cur.pos]):
+                return  # chunk starts at/after target: no decode needed
+            ensure_decoded(cur)
+            ids = cur.decoded[0]
+            # doc_hi >= target guarantees a hit inside this chunk
+            p = int(np.searchsorted(ids, target_doc, side="left"))
+            cur.ptr = max(p, cur.ptr)
 
         threshold = -np.inf  # k-th best score so far (heap top)
         active = list(cursors)
@@ -285,33 +318,68 @@ class WandEngine:
             if len(heap) < k:
                 pivot_i = 0  # heap not full: every doc is a candidate
             else:
+                # WAND pivot on term-global uppers (sound for any doc)
                 ub = 0.0
                 pivot_i = -1
                 for i, c in enumerate(active):
-                    ub += c.chunk_upper()
+                    ub += c.gub
                     if ub >= threshold - EPS:
                         pivot_i = i
                         break
-            if pivot_i < 0:
-                # Even the sum of ALL current-chunk uppers can't reach the
-                # threshold. Docs up to the earliest current-chunk end are
-                # fully bounded by these chunks → skip them all at once.
-                # (Docs beyond min(doc_hi) may fall in later, possibly
-                # higher-impact chunks, so only skip to that boundary.)
-                boundary = min(int(c.chunks["doc_hi"].iat[c.pos]) for c in active)
-                for c in active:
-                    skip_to(c, boundary + 1)
-                continue
+                if pivot_i < 0:
+                    break  # no remaining doc can reach the threshold
             pivot_doc = active[pivot_i].current_doc()
-            if active[0].current_doc() < pivot_doc:
-                # align all cursors before the pivot to the pivot doc
-                for c in active[:pivot_i]:
+            # extend the pivot group over cursors parked on the same doc
+            while (pivot_i + 1 < len(active)
+                   and active[pivot_i + 1].current_doc() == pivot_doc):
+                pivot_i += 1
+            group = active[:pivot_i + 1]
+
+            # ---- block-max secondary check (shallow moves only) ----------
+            # Position each group cursor's chunk pointer at the chunk that
+            # could contain pivot_doc; sum the maxes of chunks that DO cover
+            # it. boundary = first doc at which this bound stops applying.
+            block_ub = 0.0
+            boundary: int | None = None
+            for c in group:
+                shallow_to(c, pivot_doc)
+                if c.exhausted():
+                    continue
+                lo = int(c.doc_lo[c.pos])
+                if lo <= pivot_doc:
+                    block_ub += float(c.maxes[c.pos])
+                    bnd = int(c.doc_hi[c.pos]) + 1
+                else:
+                    bnd = lo  # chunk starts later; its max wasn't counted
+                boundary = bnd if boundary is None else min(boundary, bnd)
+            if len(heap) >= k and block_ub < threshold - EPS:
+                # The covering chunks can't produce a top-k doc anywhere in
+                # [pivot_doc, boundary). Skip the group there — capped at the
+                # next cursor's doc so uncounted terms are never jumped.
+                target = boundary if boundary is not None else pivot_doc + 1
+                if pivot_i + 1 < len(active):
+                    target = min(target, active[pivot_i + 1].current_doc())
+                target = max(target, pivot_doc + 1)
+                for c in group:
+                    if not c.exhausted():
+                        skip_to(c, target)
+                continue
+
+            # shallow moves may have shifted group cursors; align stragglers
+            lagging = [c for c in group
+                       if not c.exhausted() and c.current_doc() < pivot_doc]
+            if lagging:
+                for c in lagging:
                     skip_to(c, pivot_doc)
                 continue
-            # pivot reached by the first cursor: fully score pivot_doc
+            if not any(not c.exhausted() and c.current_doc() == pivot_doc
+                       for c in group):
+                continue  # group drifted past pivot_doc; re-pivot
+
+            # ---- fully score pivot_doc -----------------------------------
             s = 0.0
-            for c in active:
-                if c.exhausted():
+            for c in group:
+                if c.exhausted() or c.current_doc() != pivot_doc:
                     continue
                 ensure_decoded(c)
                 ids, imp = c.decoded
