@@ -338,9 +338,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN probe (bucketed index, partition-pruned) —
-    non-SQL-expressible (seeded hyperplanes); rows-only driver check. The
-    exact-baseline twin q_cosine_topk IS oracle-checked."""
+    """Hyperplane-LSH ANN probe (bucketed index, partition-pruned),
+    hash-checked against a DuckDB oracle that inlines the deterministic
+    seed-42 hyperplanes as literals (buckets + Hamming-1 multiprobe + exact
+    cosine within candidates, all in SQL)."""
     import tempfile
 
     from nextsearch_api_spark.operators.similarity import (
@@ -626,8 +627,42 @@ SELECT doc_id,
         + (1.0 - abs(stopw / greatest(alnum, 1) - 0.3) / 0.7) * 0.3,
         6) AS quality
 FROM sig"""
-    # ann_lsh_topk intentionally has NO oracle (seeded hyperplanes are not
-    # SQL-expressible) → driver records the weaker rows-only check.
+    # ann_lsh_topk oracle: the seeded hyperplanes ARE deterministic, so they
+    # inline as 8×64 DOUBLE literals (VERDICT r1 'next' #2). The SQL computes
+    # each vector's sign-pattern bucket, probes the query's bucket plus all
+    # Hamming-1 neighbors (multiprobe=1), and ranks exact cosine within the
+    # candidate set — the full Spark semantics, hash-checked.
+    from nextsearch_api_spark.operators.similarity import hyperplanes
+    H = hyperplanes(64, 8, seed=42)
+    plane_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in H[i]))
+        for i in range(8)
+    )
+    sql["ann_lsh_topk"] = f"""
+WITH planes(pid, pv) AS (VALUES
+    {plane_rows}),
+vecs AS (SELECT vec_id,
+                list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         FROM embeddings),
+buck AS (
+  SELECT vec_id, v,
+         sum(CASE WHEN list_dot_product(v, pv) > 0
+                  THEN 1 << pid ELSE 0 END)::INT AS bucket
+  FROM vecs CROSS JOIN planes GROUP BY vec_id, v),
+q AS (SELECT v AS qv, bucket AS qb FROM buck WHERE vec_id = 0),
+sims AS (
+  SELECT b.vec_id,
+         list_dot_product(b.v, q.qv)
+         / (sqrt(list_dot_product(b.v, b.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM buck b CROSS JOIN q
+  WHERE b.vec_id <> 0
+    AND (b.bucket = q.qb OR bit_count(xor(b.bucket, q.qb)) = 1))
+SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
+  SELECT vec_id, cos,
+         row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rank
+  FROM sims) t
+WHERE rank <= 10"""
 
     sql["cosine_topk"] = """
 WITH q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv

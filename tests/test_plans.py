@@ -36,6 +36,20 @@ def test_batch_search_uses_broadcast_join(spark, plan_env):
     assert "row_number" in plan.lower()
 
 
+def test_batch_search_found_and_rank_are_scale_safe(spark, plan_env):
+    """`found` must be a fused partial count (marker rows from the Arrow
+    prune), NOT a per-qid count window over the full matched set; the rank
+    window must sit above the partition-local MapInPandas prune; and the
+    whole plan needs exactly two hash exchanges — the (qid, doc_id) score
+    agg and one shared qid exchange for the two tiny windows
+    (VERDICT r1 'what's wrong' #2)."""
+    topk = batch_search(plan_env, [QuerySpec(0, "buffer cache99", 5)])
+    plan = _plan(topk)
+    assert "count(1) windowspecdefinition" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("hashpartitioning(") == 2, plan.count("hashpartitioning(")
+
+
 def test_docs_scan_prunes_columns(spark, tiny_index):
     root, _ = tiny_index
     df = spark.read.parquet(IndexPaths(root).docs).select("doc_id", "doc_len")
@@ -51,3 +65,43 @@ def test_suggest_is_windowed_topk(spark, tiny_index):
     lex = spark.read.parquet(IndexPaths(root).lexicon)
     plan = _plan(build_suggest(lex))
     assert "Window" in plan
+
+
+def test_cosine_topk_is_bounded_heap_not_global_window(spark):
+    """The N-row top-k phase must plan as TakeOrderedAndProject (distributed
+    bounded heap), never a no-partition Window that funnels every similarity
+    row into one task (VERDICT r1 'what's wrong' #1)."""
+    from nextsearch_api_spark.operators.similarity import cosine_scores, topk_frame
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 97).cast("float") / 97.0
+                  for i in range(8)]).alias("embedding"),
+    )
+    sims = cosine_scores(emb, [0.1] * 8)
+    plan = _plan(topk_frame(sims, 10))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+
+
+def test_cosine_topk_values(spark):
+    """Distributed heap result == NumPy exact top-k, ranks 1..k."""
+    import numpy as np
+
+    from nextsearch_api_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((150, 8)).astype(np.float32)
+    qv = rng.standard_normal(8)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    got = cosine_topk(emb, [float(x) for x in qv], k=5).collect()
+    v64 = vecs.astype(np.float64)
+    cos = (v64 @ qv) / (np.linalg.norm(v64, axis=1) * np.linalg.norm(qv))
+    exp = np.argsort(np.rec.fromarrays([-np.round(cos, 9), np.arange(150)]))[:5]
+    assert [r["vec_id"] for r in got] == [int(i) for i in exp]
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    for r in got:
+        assert abs(r["cos_sim"] - cos[r["vec_id"]]) < 1e-5
