@@ -23,6 +23,7 @@ from collections import OrderedDict
 from typing import Any, Callable
 
 from nextsearch_api_spark.config import BM25Params
+from nextsearch_api_spark.feedback import FeedbackManager, validate_feedback
 from nextsearch_api_spark.operators.query import clamp_k
 from nextsearch_api_spark.operators.wand import WandEngine
 
@@ -76,7 +77,11 @@ class Engine:
         self.cache_dir = cache_dir
         self.embeddings_path = embeddings_path
         self.hooks: dict[str, Callable] = {}  # e.g. 'ai_overview' integration
-        self._counters = {"searches": 0, "suggests": 0, "reloads": 0}
+        self._counters = {"searches": 0, "suggests": 0, "reloads": 0,
+                          "search_cache_hits": 0}
+        self.feedback_store = FeedbackManager(
+            os.path.join(cache_dir, "feedback.json") if cache_dir else None
+        )
         self._load()
 
     def _load(self) -> None:
@@ -109,7 +114,12 @@ class Engine:
         t0 = time.time()
         cached = self.search_cache.get(key)
         if cached is not None:
+            # reference cached shape (api_server.cpp:141-165): search time
+            # zeroed, the lookup cost reported separately
+            self._counters["search_cache_hits"] += 1
             out = dict(cached)
+            out["search_time_ms"] = 0.0
+            out["cache_lookup_ms"] = round((time.time() - t0) * 1000, 2)
             out["cached"] = True
             out["total_time_ms"] = round((time.time() - t0) * 1000, 2)
             return out
@@ -134,12 +144,34 @@ class Engine:
         self._load()
         return {"status": "reloaded", "load_seconds": round(self.load_seconds, 3)}
 
+    def feedback(self, payload: dict) -> dict:
+        """Validate + store one feedback entry (reference handle_feedback,
+        src/api_feedback.cpp:155-238). Returns the success JSON or
+        {'error': ...} with the reference's message strings."""
+        entry, err = validate_feedback(payload)
+        if err is not None:
+            return {"error": err}
+        if not self.feedback_store.add(entry):
+            return {"error": "Failed to save feedback"}
+        return {
+            "success": True,
+            "message": "Feedback received successfully",
+            "total_count": self.feedback_store.count(),
+        }
+
     def stats(self) -> dict:
+        total = self._counters["searches"]
+        hits = self._counters["search_cache_hits"]
         return {
             **self._counters,
             "cache_entries": len(self.search_cache.data),
             "cache_hits": self.search_cache.hits,
             "cache_misses": self.search_cache.misses,
+            # reference derived rate + last-10 feedback slice
+            # (include/api_stats.hpp:128-157)
+            "search_cache_hit_rate": (hits / total) if total else 0.0,
+            "last_10_feedback": self.feedback_store.last(10),
+            "total_feedback_count": self.feedback_store.count(),
             "docs": self.wand.N,
         }
 

@@ -1,0 +1,155 @@
+"""Feedback subsystem (reference src/api_feedback.cpp) and HTTP serving
+layer (reference src/api_server.cpp routes/shapes) parity tests."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from nextsearch_api_spark.feedback import (
+    FeedbackManager, validate_feedback,
+)
+
+
+# ------------------------------------------------------------ validation --
+
+def test_feedback_validation_rules():
+    ok, err = validate_feedback({"message": "great", "type": "anonymous"})
+    assert err is None and ok["message"] == "great"
+
+    # anonymous forces email to null (api_feedback.cpp:196-200)
+    ok, err = validate_feedback(
+        {"message": "m", "type": "anonymous", "email": "x@y.z"})
+    assert err is None and ok["email"] is None
+
+    _, err = validate_feedback({"type": "anonymous"})
+    assert err == "missing or invalid 'message' field"
+    _, err = validate_feedback({"message": 5, "type": "anonymous"})
+    assert err == "missing or invalid 'message' field"
+    _, err = validate_feedback({"message": "m"})
+    assert err == "missing or invalid 'type' field"
+    _, err = validate_feedback({"message": "m", "type": "other"})
+    assert err == "type must be 'anonymous' or 'replyable'"
+    _, err = validate_feedback({"message": "m", "type": "replyable"})
+    assert err == "email is required for 'replyable' type feedback"
+    _, err = validate_feedback(
+        {"message": "m", "type": "replyable", "email": ""})
+    assert err == "email is required for 'replyable' type feedback"
+    _, err = validate_feedback(
+        {"message": "m", "type": "replyable", "email": None})
+    assert err == "email is required for 'replyable' type feedback"
+    ok, err = validate_feedback(
+        {"message": "m", "type": "replyable", "email": "a@b.c"})
+    assert err is None and ok["email"] == "a@b.c"
+
+
+def test_feedback_store_cap_persist_and_last10(tmp_path):
+    path = str(tmp_path / "fb" / "feedback.json")
+    fm = FeedbackManager(path, max_entries=5)
+    for i in range(8):
+        assert fm.add({"message": f"m{i}", "type": "anonymous"})
+    assert fm.count() == 5  # FIFO cap
+    assert [e["message"] for e in fm.last(3)] == ["m5", "m6", "m7"]
+    assert all("timestamp" in e for e in fm.entries)
+
+    # reload from disk keeps the trimmed tail
+    fm2 = FeedbackManager(path, max_entries=5)
+    assert [e["message"] for e in fm2.entries] == [f"m{i}" for i in range(3, 8)]
+    # load-trim when the cap shrinks (api_feedback.cpp:117-120)
+    fm3 = FeedbackManager(path, max_entries=2)
+    assert [e["message"] for e in fm3.entries] == ["m6", "m7"]
+
+
+# ------------------------------------------------------------ HTTP layer --
+
+@pytest.fixture(scope="module")
+def server(tiny_index, tmp_path_factory):
+    from nextsearch_api_spark.api import Engine
+    from nextsearch_api_spark.http_server import ApiServer
+
+    root, _ = tiny_index
+    eng = Engine(root, cache_dir=str(tmp_path_factory.mktemp("httpcache")))
+    srv = ApiServer(eng, port=0)  # ephemeral port
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def _post(srv, path, payload=None):
+    data = json.dumps(payload).encode() if payload is not None else b""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=data,
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def _err(fn, *a, **kw):
+    try:
+        fn(*a, **kw)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+    raise AssertionError("expected HTTPError")
+
+
+def test_http_health_search_suggest(server):
+    st, h = _get(server, "/api/health")
+    assert st == 200 and h["ok"] is True and h["segments"] == 1
+
+    st, s = _get(server, "/api/search?q=hotterm%20buffer&k=3")
+    assert st == 200 and s["cached"] is False and len(s["results"]) == 3
+    assert {"search_time_ms", "total_time_ms", "found", "k"} <= set(s)
+    assert {"rank", "doc_id", "score"} <= set(s["results"][0])
+
+    st, s2 = _get(server, "/api/search?q=hotterm%20buffer&k=3")
+    assert s2["cached"] is True and s2["search_time_ms"] == 0.0
+    assert "cache_lookup_ms" in s2  # reference cached shape, cpp:148-152
+    assert [r["doc_id"] for r in s2["results"]] == [
+        r["doc_id"] for r in s["results"]]
+
+    code, body = _err(_get, server, "/api/search")
+    assert code == 400 and body["error"] == "missing q param"
+
+    st, g = _get(server, "/api/suggest?q=bu&k=5")
+    assert st == 200 and g["query"] == "bu" and isinstance(g["suggestions"], list)
+    code, body = _err(_get, server, "/api/suggest")
+    assert code == 400 and body["error"] == "missing q param"
+
+
+def test_http_feedback_and_stats(server):
+    st, ok = _post(server, "/api/feedback",
+                   {"message": "nice", "type": "anonymous"})
+    assert st == 200 and ok["success"] is True and ok["total_count"] >= 1
+
+    code, body = _err(_post, server, "/api/feedback",
+                      {"message": "m", "type": "replyable"})
+    assert code == 400
+    assert body["error"] == "email is required for 'replyable' type feedback"
+
+    st, stats = _get(server, "/api/stats")
+    assert stats["total_feedback_count"] >= 1
+    assert stats["last_10_feedback"][-1]["message"] == "nice"
+    assert "search_cache_hit_rate" in stats
+
+
+def test_http_reload_add_document_ai(server):
+    st, r = _post(server, "/api/reload")
+    assert st == 200 and r["reloaded"] is True
+
+    code, body = _err(_post, server, "/api/add_document", {"x": 1})
+    assert code == 503  # disabled in the reference itself
+
+    code, body = _err(_get, server, "/api/ai_overview?q=x")
+    assert code == 501  # external-LLM hook not registered
+
+    # hook registration serves the endpoint
+    server.engine.hooks["ai_overview"] = lambda p: {"overview": p.get("q", "")}
+    st, a = _get(server, "/api/ai_overview?q=cache")
+    assert st == 200 and a["overview"] == "cache"
