@@ -180,8 +180,10 @@ class Engine:
     def _get_suggester(self):
         if self._suggester is None:
             import pyarrow.dataset as ds
+
+            from nextsearch_api_spark.config import IndexPaths
             tbl = ds.dataset(
-                os.path.join(self.index_root, "suggest")
+                IndexPaths(self.index_root).suggest
             ).to_table(columns=["prefix", "term", "rnk"]).to_pandas()
             table: dict[str, list[tuple[int, str]]] = {}
             for p, t, r in zip(tbl["prefix"], tbl["term"], tbl["rnk"]):
@@ -198,8 +200,10 @@ class Engine:
         if not out["results"]:
             return out
         import pyarrow.dataset as ds
+
+        from nextsearch_api_spark.config import IndexPaths
         ids = [r["doc_id"] for r in out["results"]]
-        meta = ds.dataset(os.path.join(self.index_root, "docs")).to_table(
+        meta = ds.dataset(IndexPaths(self.index_root).docs).to_table(
             columns=["doc_id", "uid", "repo", "path", "commit", "lang"],
             filter=ds.field("doc_id").isin(ids),
         ).to_pandas().set_index("doc_id")

@@ -46,33 +46,58 @@ SUGGEST_MAX_PREFIX_LEN = 12  # bound prefix explosion; reference tries are unbou
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+# single-file pointer that maps logical index components to physical dirs;
+# compaction writes new generation dirs and flips this pointer with ONE
+# atomic os.replace, so a crash mid-compaction can never mix postings and
+# lexicon (or stats) from different generations (ADVICE r1)
+CURRENT_POINTER = "CURRENT.json"
+
+
 @dataclass(frozen=True)
 class IndexPaths:
     """On-disk layout of a built index (the Parquet analog of the reference's
     segment directory: stats.bin/docs.bin/lexicon_b*/inverted_b*, see
-    include/segment_writer.hpp:65-167)."""
+    include/segment_writer.hpp:65-167).
+
+    Component paths resolve through ``CURRENT.json`` when present (written
+    only by compaction generation flips); fresh builds use the base names."""
 
     root: str
 
+    def _resolve(self, name: str, default: str) -> str:
+        try:
+            import json
+            with open(os.path.join(self.root, CURRENT_POINTER)) as f:
+                mapping = json.load(f)
+            return os.path.join(self.root, mapping.get(name, default))
+        except (FileNotFoundError, NotADirectoryError):
+            return os.path.join(self.root, default)
+        except Exception:
+            return os.path.join(self.root, default)
+
     @property
     def docs(self) -> str:
-        return os.path.join(self.root, "docs")
+        return self._resolve("docs", "docs")
 
     @property
     def postings(self) -> str:
-        return os.path.join(self.root, "postings")
+        return self._resolve("postings", "postings")
 
     @property
     def lexicon(self) -> str:
-        return os.path.join(self.root, "lexicon")
+        return self._resolve("lexicon", "lexicon")
 
     @property
     def suggest(self) -> str:
-        return os.path.join(self.root, "suggest")
+        return self._resolve("suggest", "suggest")
+
+    @property
+    def forward(self) -> str:
+        return self._resolve("forward", "forward")
 
     @property
     def stats(self) -> str:
-        return os.path.join(self.root, "stats.json")
+        return self._resolve("stats", "stats.json")
 
     @property
     def manifest(self) -> str:

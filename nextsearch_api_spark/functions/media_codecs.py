@@ -1,0 +1,247 @@
+"""Pure-stdlib media codecs (numpy + zlib/wave/struct — no external libs).
+
+Real decoders for the multimodal pipeline (operators/multimodal.py): the
+container has no PIL/librosa/ffmpeg, but PNG (zlib inflate + filter
+reconstruction per the PNG spec), BMP (BITMAPINFOHEADER 24-bit), PPM (P6)
+and WAV (RIFF PCM via the ``wave`` module) are all decodable from the
+standard library alone. Encoders exist so tests can generate real fixtures
+deterministically.
+
+Formats intentionally NOT supported (no stdlib decoder exists): JPEG, MP3,
+MP4 — those raise ValueError and the pipeline surfaces it per its
+``on_unsupported`` policy.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+# ------------------------------------------------------------------- PPM --
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) → binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(buf) and buf[i:i + 1].isspace():
+            i += 1
+        if buf[i:i + 1] == b"#":  # comment to end of line
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j:j + 1].isspace():
+            j += 1
+        fields.append(buf[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    data = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------------------- BMP --
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → 24-bit uncompressed BMP (bottom-up, BGR)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    pix = np.zeros((h, stride), dtype=np.uint8)
+    bgr = img[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+    pix[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = pix.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    dib_size = struct.unpack_from("<I", buf, 14)[0]
+    if dib_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    comp = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=h * stride,
+                         offset=off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return (img[::-1] if flip else img).copy()
+
+
+# ------------------------------------------------------------------- PNG --
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype → channels
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 (H, W) | (H, W, C∈{1,3,4}) → PNG (8-bit, filter 0)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes()
+                   for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → uint8 (H, W, C). Implements filter
+    reconstruction 0-4 (None/Sub/Up/Average/Paeth) per the PNG spec."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat: list[bytes] = []
+    h = bitdepth = ctype = interlace = None
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bitdepth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if bitdepth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError("only 8-bit non-interlaced gray/RGB/alpha PNG")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: add reconstructed left (per channel)
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = cur + up
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(rows[y, 1 + x]) + ((left + int(up[x])) >> 1)) & 0xFF
+            out[y] = cur
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(up[x])
+                c = int(out[y - 1, x - ch]) if (x >= ch and y) else 0
+                pr = _paeth(np.uint8(a), np.uint8(b), np.uint8(c))
+                cur[x] = (int(rows[y, 1 + x]) + int(pr)) & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.reshape(h, w, ch).copy()
+
+
+# ------------------------------------------------------------------- WAV --
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float array in [-1, 1], shape (n,) or (n, ch) → 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 samples (n, ch) in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(buf), "rb") as wf:
+        ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return s.reshape(-1, ch), sr
+
+
+# ------------------------------------------------------------------ sniff --
+
+
+def sniff(buf: bytes) -> str | None:
+    """Magic-byte format detection → 'png'|'bmp'|'ppm'|'wav'|None."""
+    if buf[:8] == _PNG_SIG:
+        return "png"
+    if buf[:2] == b"BM":
+        return "bmp"
+    if buf[:2] == b"P6":
+        return "ppm"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Any supported image format → uint8 (H, W, C)."""
+    kind = sniff(buf)
+    if kind == "png":
+        return decode_png(buf)
+    if kind == "bmp":
+        return decode_bmp(buf)
+    if kind == "ppm":
+        return decode_ppm(buf)
+    raise ValueError("unsupported image format (stdlib codecs: PNG/BMP/PPM)")

@@ -668,6 +668,28 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
     cfg = cfg or BuildConfig()
     paths = IndexPaths(out_root)
     os.makedirs(out_root, exist_ok=True)
+    # A batch (re)build claims the base-name generation: drop any compaction
+    # pointer and its generation dirs so every stage reads/writes one
+    # consistent layout. (Streamed deltas are not part of the batch corpus —
+    # rebuilding from the corpus supersedes them by definition; after a
+    # generation flip the base dirs are gone anyway, so stages re-run.)
+    from nextsearch_api_spark.config import CURRENT_POINTER
+    cur_ptr = os.path.join(out_root, CURRENT_POINTER)
+    if os.path.exists(cur_ptr):
+        import shutil
+        from nextsearch_api_spark.plans.generations import (
+            DEFAULT_COMPONENTS, current_mapping,
+        )
+        mapping = current_mapping(out_root)
+        os.remove(cur_ptr)
+        for comp, default in DEFAULT_COMPONENTS.items():
+            phys = mapping.get(comp, default)
+            if phys != default:
+                stale = os.path.join(out_root, phys)
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
+                elif os.path.exists(stale):
+                    os.remove(stale)
     manifest = BuildManifest.load(paths.manifest) if resume else BuildManifest(
         paths.manifest, {"stages": {}, "created_at": time.time()}
     )

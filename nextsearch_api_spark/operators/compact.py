@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from typing import Iterator
 
 import numpy as np
@@ -72,6 +71,17 @@ def compact_postings(spark: SparkSession, index_root: str,
     paths = IndexPaths(index_root)
     with open(paths.stats) as f:
         stats = json.load(f)
+    # re-chunking recomputes max_impact: use the index's PERSISTED k1/b, not
+    # the caller's defaults — wrong params under-estimate WAND upper bounds
+    # and can drop true top-k results (ADVICE r1)
+    from dataclasses import replace as dc_replace
+
+    from nextsearch_api_spark.config import BM25Params
+    persisted = BM25Params(k1=float(stats.get("k1", cfg.bm25.k1)),
+                           b=float(stats.get("b", cfg.bm25.b)),
+                           precision=cfg.bm25.precision)
+    if (persisted.k1, persisted.b) != (cfg.bm25.k1, cfg.bm25.b):
+        cfg = dc_replace(cfg, bm25=persisted)
 
     lex = spark.read.parquet(paths.lexicon)
     frag_terms = lex.where(
@@ -86,35 +96,42 @@ def compact_postings(spark: SparkSession, index_root: str,
     frag = postings.join(F.broadcast(frag_terms), "term", "left_semi")
     keep = postings.join(F.broadcast(frag_terms), "term", "left_anti")
 
+    from nextsearch_api_spark.plans.generations import (
+        flip_generation, gen_path, next_gen,
+    )
+    gen = next_gen(index_root)
+
     rebuilt = build_posting_chunks(
         decode_postings_to_tokens(frag), stats["avgdl"], cfg
     )
     merged = keep.unionByName(rebuilt)
-    tmp = paths.postings + "_compact"
-    merged.write.mode("overwrite").parquet(tmp)
+    post_new = gen_path(index_root, "postings", gen)
+    merged.write.mode("overwrite").parquet(post_new)
 
     lex_new = (
-        spark.read.parquet(tmp).groupBy("term").agg(
+        spark.read.parquet(post_new).groupBy("term").agg(
             F.sum("count").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
             F.count("*").cast("int").alias("n_chunks"),
             F.max("max_impact").alias("max_impact"),
         )
     )
-    lex_tmp = paths.lexicon + "_compact"
+    lex_tmp = gen_path(index_root, "lexicon", gen)
     (lex_new.repartitionByRange(max(1, min(64, lex_new.rdd.getNumPartitions())),
                                 "term")
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(lex_tmp))
 
-    for cur, new in ((paths.postings, tmp), (paths.lexicon, lex_tmp)):
-        bak = cur + "_old"
-        os.rename(cur, bak)
-        os.rename(new, cur)
-        shutil.rmtree(bak, ignore_errors=True)
+    # ONE atomic pointer flip publishes postings + lexicon together — a
+    # crash can never leave them from different generations (ADVICE r1)
+    flip_generation(index_root, {
+        "postings": os.path.basename(post_new),
+        "lexicon": os.path.basename(lex_tmp),
+    }, gen)
 
     return {
         "fragmented_terms": int(n_frag),
         "chunks_after": _parquet_rows(paths.postings),
         "swapped": True,
+        "gen": gen,
     }

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
-The Spark-side mechanics — schemas, partitioning, UDF signatures, batch
-shapes — are real and tested; the actual media decoding is STUBBED (the
-image/audio libraries are not in this container): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (seeded by the content hash) produces stable feature vectors so
-the distributed pipeline can be exercised end-to-end.
+Real decode (fake=False, the default path): pure-stdlib codecs
+(functions/media_codecs.py) handle PNG (zlib inflate + filter
+reconstruction), BMP, PPM and RIFF-PCM WAV — no PIL/librosa/ffmpeg needed.
+Formats with no stdlib decoder (JPEG/MP3/MP4 — i.e. the video kind) follow
+``on_unsupported``: 'error' (default) raises, 'skip' drops the row,
+'metadata' emits a metadata-only feature vector. fake=True keeps the
+deterministic hash-seeded stub (stable fixtures for plumbing tests).
 
 At 100 TB: binary payloads dominate row size, so every operator here
 (a) prunes to (id, payload) before the UDF, (b) repartitions by size budget
@@ -46,24 +47,44 @@ FEATURE_SCHEMA = StructType([
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes) for tests."""
+    """Deterministic media table with REAL payloads: PNG/BMP/PPM images and
+    16-bit PCM WAV audio (stdlib-encoded), plus opaque bytes for the video
+    kind (no stdlib mp4 codec exists — exercises the unsupported path)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nextsearch_api_spark.functions.media_codecs import (
+            encode_bmp, encode_png, encode_ppm, encode_wav,
+        )
         kinds = ["image", "audio", "video"]
-        mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+        img_encs = [(encode_png, "image/png"), (encode_bmp, "image/bmp"),
+                    (encode_ppm, "image/x-portable-pixmap")]
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
                 rng = np.random.default_rng((seed << 16) ^ i)
                 kind = kinds[i % 3]
-                payload = rng.bytes(256 + (i % 512))
-                rows.append({
-                    "media_id": i, "kind": kind, "mime": mimes[kind],
-                    "width": 64 + i % 128 if kind != "audio" else None,
-                    "height": 48 + i % 96 if kind != "audio" else None,
-                    "duration_ms": (1000 + i * 37) if kind != "image" else None,
-                    "payload": payload,
-                })
+                if kind == "image":
+                    w, h = 16 + i % 24, 12 + i % 20
+                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    enc, mime = img_encs[(i // 3) % 3]
+                    payload = enc(img)
+                    meta = dict(width=w, height=h, duration_ms=None)
+                elif kind == "audio":
+                    sr = 8000
+                    dur = 0.05 + (i % 7) * 0.01
+                    t = np.arange(int(sr * dur)) / sr
+                    samples = 0.5 * np.sin(2 * np.pi * (200 + 30 * i) * t)
+                    payload = encode_wav(samples, sr)
+                    mime = "audio/wav"
+                    meta = dict(width=None, height=None,
+                                duration_ms=int(dur * 1000))
+                else:
+                    payload = b"\x00\x00\x00 ftypmp42" + rng.bytes(200)
+                    mime = "video/mp4"
+                    meta = dict(width=64 + i % 128, height=48 + i % 96,
+                                duration_ms=1000 + i * 37)
+                rows.append({"media_id": i, "kind": kind, "mime": mime,
+                             "payload": payload, **meta})
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
@@ -77,33 +98,85 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def _pad(vals: list[float], dim: int) -> list[float]:
+    v = [float(x) for x in vals[:dim]]
+    return v + [0.0] * (dim - len(v))
+
+
+def _real_features(payload: bytes, dim: int) -> list[float] | None:
+    """Decode with the stdlib codecs → fixed-dim feature vector.
+    Images: [1, w, h, c, luma mean/std, RGB means, 6-bin luma histogram].
+    Audio:  [2, sr/1e3, ch, dur_s, rms, zcr, mean|s|, peak, 8 envelope bins].
+    Returns None for formats with no stdlib decoder."""
+    from nextsearch_api_spark.functions.media_codecs import (
+        decode_image, decode_wav, sniff,
+    )
+    kind = sniff(payload)
+    if kind in ("png", "bmp", "ppm"):
+        img = decode_image(payload).astype(np.float64)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, c = img.shape
+        luma = img[:, :, :3].mean(axis=2) if c >= 3 else img[:, :, 0]
+        hist, _ = np.histogram(luma, bins=6, range=(0.0, 256.0))
+        hist = hist / max(luma.size, 1)
+        rgb = (img[:, :, :3].mean(axis=(0, 1)).tolist()
+               if c >= 3 else [float(img.mean())] * 3)
+        return _pad([1.0, w, h, c, float(luma.mean()), float(luma.std()),
+                     *rgb, *hist.tolist()], dim)
+    if kind == "wav":
+        samples, sr = decode_wav(payload)
+        mono = samples.mean(axis=1)
+        n = max(len(mono), 1)
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(mono)))) if n > 1 else 0.0)
+        env = [float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+               for seg in np.array_split(mono, 8)]
+        return _pad([2.0, sr / 1000.0, samples.shape[1], n / sr,
+                     float(np.sqrt(np.mean(mono * mono))), zcr,
+                     float(np.mean(np.abs(mono))), float(np.max(np.abs(mono), initial=0.0)),
+                     *env], dim)
+    return None
+
+
 def extract_features(media: DataFrame, dim: int = 16, fake: bool = False,
-                     target_rows_per_task: int = 256) -> DataFrame:
+                     target_rows_per_task: int = 256,
+                     on_unsupported: str = "error") -> DataFrame:
     """media → (media_id, feature[dim], payload_sha256).
 
-    The real decode step (PIL/librosa/ffmpeg) is not available in this
-    container; fake=True uses the deterministic stub. The Spark plumbing —
-    payload-pruned scan, size-aware repartition, Arrow batching, feature
-    schema — is the part under test.
+    fake=False (default) REALLY decodes PNG/BMP/PPM/WAV with the stdlib
+    codecs (functions/media_codecs.py). Payloads in formats with no stdlib
+    decoder (JPEG/MP4/...) follow ``on_unsupported``: 'error' raises,
+    'skip' drops the row, 'metadata' emits [0, byte_len, 0, ...]. fake=True
+    keeps the hash-seeded deterministic stub.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decoding libraries are not available in this environment; "
-            "pass fake=True for the deterministic stub decoder"
-        )
+    if on_unsupported not in ("error", "skip", "metadata"):
+        raise ValueError("on_unsupported must be error|skip|metadata")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "media_id": pdf["media_id"].astype(np.int64),
-                "feature": [
-                    _fake_decode(bytes(p), dim).tolist() for p in pdf["payload"]
-                ],
-                "payload_sha256": [
-                    hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
-                ],
-            }
-            yield pd.DataFrame(out)
+            ids, vecs, shas = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                if fake:
+                    vec = _fake_decode(p, dim).tolist()
+                else:
+                    vec = _real_features(p, dim)
+                    if vec is None:
+                        if on_unsupported == "error":
+                            raise ValueError(
+                                f"media_id={int(mid)}: no stdlib decoder for "
+                                "this format (supported: PNG/BMP/PPM/WAV)")
+                        if on_unsupported == "skip":
+                            continue
+                        vec = _pad([0.0, float(len(p))], dim)
+                ids.append(int(mid))
+                vecs.append(vec)
+                shas.append(hashlib.sha256(p).hexdigest())
+            if not ids:
+                continue  # all rows skipped: an empty 'feature' column would
+                #           lose its list dtype and break Arrow conversion
+            yield pd.DataFrame({"media_id": np.array(ids, dtype=np.int64),
+                                "feature": vecs, "payload_sha256": shas})
 
     n = media.rdd.getNumPartitions()
     pruned = media.select("media_id", "payload")

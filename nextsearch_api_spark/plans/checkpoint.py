@@ -55,10 +55,15 @@ class BuildManifest:
         st = self.data["stages"].get(name)
         if not st or st.get("fingerprint") != fingerprint or st.get("status") != "ok":
             return False
-        if output is not None and not (
-            os.path.exists(os.path.join(output, "_SUCCESS")) or os.path.exists(output)
-        ):
-            return False
+        if output is not None:
+            if os.path.isdir(output):
+                # directory outputs require the _SUCCESS marker — a partially
+                # written (or externally modified) directory is redone
+                # (ADVICE r1: plain existence made the marker check vacuous)
+                if not os.path.exists(os.path.join(output, "_SUCCESS")):
+                    return False
+            elif not os.path.exists(output):
+                return False  # file outputs (stats.json): plain existence
         return True
 
     def record(self, name: str, **info: Any) -> None:

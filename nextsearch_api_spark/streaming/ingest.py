@@ -7,19 +7,26 @@ checkpointing (plans/checkpoint.py); this module adds the genuinely
 streaming-shaped capability a Spark-native engine should have:
 
   * ``stream_corpus_to_forward`` — readStream over a corpus directory →
-    tokenize (the same Arrow-batched tokenizer as the batch build) →
-    append-mode sink of (doc_id, term, tf, doc_len) micro-batch Parquet.
-    Each micro-batch is a new index *delta segment*; ``compact_deltas``
-    merges deltas into the main index by re-running the postings/lexicon
-    stages over forward ∪ deltas (cheap: those stages are per-term,
-    partial-agg friendly).
+    foreachBatch sink writing BOTH the forward-index delta (doc_id, term,
+    tf, doc_len) AND a docs-table delta (doc_id, uid, metadata, doc_len,
+    content_sha256) per micro-batch, so compaction can merge streamed docs
+    into the hydration/docs view (r1 never did — ADVICE r1).
   * ``stream_event_rollup`` — watermarked tumbling-window aggregation over
     an event stream (the events.parquet shape), demonstrating late-data
     handling (q_events_hourly is its batch twin).
+  * ``compact_deltas`` — merges deltas into the main index by re-running the
+    postings/lexicon stages over forward ∪ deltas, then flips ALL components
+    (postings, lexicon, forward, docs, stats) to a new generation with ONE
+    atomic CURRENT.json replace (plans/generations.py) — a crash can never
+    mix generations (ADVICE r1).
 
 doc_id for streamed docs: content-addressed (uid hash) rather than dense —
-dense ranks are a batch-build property; streamed deltas use the uid-derived
-63-bit id space above the batch range, so merged indexes never collide.
+dense ranks are a batch-build property. The id is a 60-bit slice of the
+sha256 above STREAM_ID_BASE=2^62 (r1 used a 39-bit slice whose birthday
+collisions hit ~1% at only ~100k docs; 60 bits pushes that to ~10^8 docs —
+ADVICE r1), and ``compact_deltas`` additionally ASSERTS doc_id↔uid is 1:1
+across the merged docs so a real collision fails loudly instead of silently
+fusing two documents' postings.
 """
 
 from __future__ import annotations
@@ -29,41 +36,66 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nextsearch_api_spark.operators.build import TOKENS_SCHEMA, tokenize_tf
+from nextsearch_api_spark.operators.build import (
+    TOKENS_SCHEMA, append_doc_len, tokenize_tf,
+)
 from nextsearch_api_spark.sources.corpus import CORPUS_SCHEMA
 
-# streamed docs get ids in [2^40, 2^40 + 2^39) — disjoint from any realistic
-# dense batch range, stable under re-processing (content-addressed)
-STREAM_ID_BASE = 1 << 40
+# streamed docs get ids in [2^62, 2^62 + 2^60) — disjoint from any dense
+# batch range, stable under re-processing (content-addressed)
+STREAM_ID_BASE = 1 << 62
 
 
 def _stream_doc_id() -> "F.Column":
+    # 15 hex chars = 60 bits of the key sha256 (fits signed int64 with base)
     h = F.conv(
-        F.substring(F.sha2(F.concat_ws("\x01", "repo", "path", "commit"), 256), 1, 12),
+        F.substring(F.sha2(F.concat_ws("\x01", "repo", "path", "commit"), 256), 1, 15),
         16, 10,
     ).cast("long")
-    return (F.lit(STREAM_ID_BASE) + F.pmod(h, F.lit(1 << 39))).cast("long")
+    return (F.lit(STREAM_ID_BASE) + h).cast("long")
+
+
+def delta_docs_dir(delta_forward_dir: str) -> str:
+    return delta_forward_dir.rstrip("/") + "_docs"
 
 
 def stream_corpus_to_forward(spark: SparkSession, src_dir: str, out_dir: str,
                              checkpoint_dir: str, trigger_once: bool = True):
-    """readStream(corpus parquet dir) → forward-index delta segments.
+    """readStream(corpus parquet dir) → forward-index + docs delta segments.
 
+    foreachBatch writes two appends per micro-batch: the tokenized forward
+    delta at ``out_dir`` and the docs delta at ``delta_docs_dir(out_dir)``.
     Returns the StreamingQuery. trigger_once=True processes all available
-    input then stops (the testable batch-of-streams mode); False runs
-    continuously with default micro-batching.
+    input then stops. foreachBatch appends are at-least-once on retry;
+    compact_deltas dedups by doc_id (content-addressed, so replays are
+    byte-identical rows).
     """
+    docs_out = delta_docs_dir(out_dir)
     src = (
         spark.readStream.schema(CORPUS_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(src_dir)
     )
-    with_ids = src.withColumn("doc_id", _stream_doc_id())
-    tokens = tokenize_tf(with_ids, tokenizer="pandas")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        with_ids = batch_df.withColumn("doc_id", _stream_doc_id())
+        tokens = tokenize_tf(with_ids, tokenizer="pandas")
+        tokens.write.mode("append").parquet(out_dir)
+        docs = append_doc_len(
+            with_ids.select(
+                "doc_id",
+                F.substring(
+                    F.sha2(F.concat_ws("", "repo", "path", "commit"), 256), 1, 16
+                ).alias("uid"),
+                "repo", "path", "commit", "lang",
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                "content",
+            )
+        ).drop("content")
+        docs.write.mode("append").parquet(docs_out)
 
     writer = (
-        tokens.writeStream.format("parquet")
-        .option("path", out_dir)
+        src.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
@@ -114,41 +146,86 @@ def stream_event_rollup(spark: SparkSession, src_dir: str, out_dir: str,
 
 def compact_deltas(spark: SparkSession, index_root: str,
                    delta_forward_dir: str, cfg=None) -> dict:
-    """Merge streamed forward-index deltas into the main index: re-run the
-    postings/lexicon/stats/suggest stages over forward ∪ deltas. The merged
-    postings stay globally doc-sorted because delta doc ids live above the
-    batch range."""
+    """Merge streamed deltas into the main index, atomically.
+
+    Steps: forward ∪ delta → re-chunk postings + lexicon; docs ∪ delta docs
+    (deduped by doc_id, collision-checked against uid); N/avgdl recomputed
+    from the merged docs; everything written as new ``_g<N>`` generation
+    dirs; ONE atomic CURRENT.json flip publishes them together."""
     import json
 
-    from nextsearch_api_spark.config import BuildConfig, IndexPaths
+    from nextsearch_api_spark.config import BM25Params, BuildConfig, IndexPaths
     from nextsearch_api_spark.operators.build import build_posting_chunks
+    from nextsearch_api_spark.plans.generations import (
+        flip_generation, gen_path, next_gen,
+    )
 
     cfg = cfg or BuildConfig()
     paths = IndexPaths(index_root)
-    fw_path = os.path.join(index_root, "forward")
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    # re-chunking recomputes max_impact: use the PERSISTED k1/b, never the
+    # caller's defaults (ADVICE r1 — wrong params under-estimate WAND bounds)
+    from dataclasses import replace as dc_replace
+    persisted = BM25Params(k1=float(stats.get("k1", cfg.bm25.k1)),
+                           b=float(stats.get("b", cfg.bm25.b)),
+                           precision=cfg.bm25.precision)
+    if (persisted.k1, persisted.b) != (cfg.bm25.k1, cfg.bm25.b):
+        cfg = dc_replace(cfg, bm25=persisted)
+
+    gen = next_gen(index_root)
+    fw_path = paths.forward
     if not os.path.exists(fw_path):
         # batch builds skip forward materialization by default; derive it
         # once from the ids table so deltas have a base to merge into
-        from nextsearch_api_spark.operators.build import tokenize_tf
         ids = spark.read.parquet(os.path.join(index_root, "ids"))
         tokenize_tf(ids, cfg.tokenizer).write.parquet(fw_path)
-    fw_main = spark.read.parquet(fw_path)
-    fw_delta = spark.read.parquet(delta_forward_dir)
-    fw = fw_main.unionByName(fw_delta)
-    # fold the deltas into the persisted forward index so the NEXT compaction
-    # starts from the merged state
-    fw.write.mode("overwrite").parquet(os.path.join(index_root, "forward_merged"))
-    fw = spark.read.parquet(os.path.join(index_root, "forward_merged"))
 
-    dl = fw.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
-    row = dl.agg(F.count("*").alias("N"), F.sum("doc_len").alias("tot")).collect()[0]
+    # ---- docs upsert + doc_id collision check (ADVICE r1) -----------------
+    # A delta uid already present in the base docs is an UPDATED document:
+    # the base version (its doc_id AND its postings) is superseded. New uids
+    # are inserts. Cost is proportional to the delta (broadcast anti-joins).
+    ddocs = (spark.read.parquet(delta_docs_dir(delta_forward_dir))
+             .dropDuplicates(["doc_id"])      # at-least-once replays
+             .where(F.col("doc_len") > 0))
+    base_docs = spark.read.parquet(paths.docs)
+    delta_uids = ddocs.select("uid")
+    superseded = (base_docs.join(F.broadcast(delta_uids), "uid", "left_semi")
+                  .select("doc_id"))
+    docs_kept = base_docs.join(F.broadcast(delta_uids), "uid", "left_anti")
+    union = docs_kept.unionByName(ddocs)
+    # hash-collision check: two DIFFERENT docs mapping to one doc_id
+    collisions = (
+        union.groupBy("doc_id").agg(F.countDistinct("uid").alias("u"))
+        .where(F.col("u") > 1).count()
+    )
+    if collisions:
+        raise RuntimeError(
+            f"{collisions} doc_id values map to multiple uids — streamed-id "
+            "hash collision; refusing to merge (would fuse distinct docs)"
+        )
+    docs_new = gen_path(index_root, "docs", gen)
+    union.write.mode("overwrite").parquet(docs_new)
+
+    fw_delta = (spark.read.parquet(delta_forward_dir)
+                .dropDuplicates(["doc_id", "term"]))   # replays
+    fw = (spark.read.parquet(fw_path)
+          .join(F.broadcast(superseded), "doc_id", "left_anti")
+          .unionByName(fw_delta))
+    fw_new = gen_path(index_root, "forward", gen)
+    fw.write.mode("overwrite").parquet(fw_new)
+    fw = spark.read.parquet(fw_new)
+
+    row = (spark.read.parquet(docs_new)
+           .agg(F.count("*").alias("N"), F.sum("doc_len").alias("tot")).collect()[0])
     N = int(row["N"])
     avgdl = float(row["tot"]) / N if N else 0.0
 
     chunks = build_posting_chunks(fw, avgdl, cfg)
-    chunks.write.mode("overwrite").parquet(paths.postings + "_merged")
+    post_new = gen_path(index_root, "postings", gen)
+    chunks.write.mode("overwrite").parquet(post_new)
     lex = (
-        spark.read.parquet(paths.postings + "_merged")
+        spark.read.parquet(post_new)
         .groupBy("term").agg(
             F.sum("count").cast("long").alias("df"),
             F.sum("sum_tf").cast("long").alias("cf"),
@@ -156,18 +233,20 @@ def compact_deltas(spark: SparkSession, index_root: str,
             F.max("max_impact").alias("max_impact"),
         )
     )
-    lex.write.mode("overwrite").parquet(paths.lexicon + "_merged")
-    # atomic-ish swap
-    for name in ("postings", "lexicon", "forward"):
-        cur = os.path.join(index_root, name)
-        bak = cur + "_old"
-        os.rename(cur, bak)
-        os.rename(cur + "_merged", cur)
-        import shutil
-        shutil.rmtree(bak, ignore_errors=True)
-    with open(paths.stats) as f:
-        stats = json.load(f)
-    stats.update(N=N, avgdl=avgdl)
-    with open(paths.stats, "w") as f:
+    lex_new = gen_path(index_root, "lexicon", gen)
+    (lex.repartitionByRange(64, "term").sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(lex_new))
+
+    stats.update(N=N, avgdl=avgdl, k1=cfg.bm25.k1, b=cfg.bm25.b)
+    stats_new = gen_path(index_root, "stats", gen)
+    with open(stats_new, "w") as f:
         json.dump(stats, f, indent=2)
-    return {"N": N, "avgdl": avgdl}
+
+    flip_generation(index_root, {
+        "postings": os.path.basename(post_new),
+        "lexicon": os.path.basename(lex_new),
+        "forward": os.path.basename(fw_new),
+        "docs": os.path.basename(docs_new),
+        "stats": os.path.basename(stats_new),
+    }, gen)
+    return {"N": N, "avgdl": avgdl, "gen": gen}

@@ -127,8 +127,34 @@ def test_multimodal_plumbing(spark):
     )
 
     media = synth_media(spark, 30).cache()
-    with pytest.raises(NotImplementedError):
+
+    # REAL stdlib decode (PNG/BMP/PPM/WAV): video (mp4) rows have no stdlib
+    # decoder → error by default, droppable via on_unsupported='skip'
+    from pyspark.sql.utils import PythonException
+    with pytest.raises(PythonException, match="no stdlib decoder"):
         extract_features(media, fake=False).collect()
+    real = extract_features(media, dim=16, fake=False,
+                            on_unsupported="skip").collect()
+    by_id = {r["media_id"]: r["feature"] for r in real}
+    assert len(by_id) == 20  # 10 image + 10 audio of 30 (video skipped)
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    widths = {r["media_id"]: r["width"] for r in media.collect()}
+    for mid, vec in by_id.items():
+        if kinds[mid] == "image":
+            # decoded dimensions must match the metadata columns
+            assert vec[0] == 1.0 and vec[1] == float(widths[mid])
+            assert 0.0 <= vec[4] <= 255.0  # luma mean
+        else:
+            assert vec[0] == 2.0 and vec[1] == 8.0  # wav, 8 kHz
+            assert vec[4] > 0.0  # sine RMS
+    # determinism across partitionings
+    real2 = extract_features(media.repartition(7), dim=16, fake=False,
+                             on_unsupported="skip").collect()
+    assert by_id == {r["media_id"]: r["feature"] for r in real2}
+    # 'metadata' policy keeps unsupported rows with a length-only vector
+    meta_mode = extract_features(media, dim=16, fake=False,
+                                 on_unsupported="metadata").collect()
+    assert len(meta_mode) == 30
 
     feats = extract_features(media, dim=8, fake=True).collect()
     assert len(feats) == 30
@@ -142,3 +168,37 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=400)
     rows = plan.collect()
     assert rows and all(r["frame_ts_ms"] % 400 == 0 for r in rows)
+
+
+def test_media_codecs_roundtrip():
+    """Stdlib codecs: encode→decode identity for PNG (incl. filters), BMP,
+    PPM, WAV; magic-byte sniffing."""
+    import numpy as np
+
+    from nextsearch_api_spark.functions.media_codecs import (
+        decode_bmp, decode_image, decode_png, decode_ppm, decode_wav,
+        encode_bmp, encode_png, encode_ppm, encode_wav, sniff,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (11, 14, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    assert (decode_png(encode_png(img)) == img).all()
+    gray = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+    assert (decode_png(encode_png(gray))[:, :, 0] == gray).all()
+    rgba = rng.integers(0, 256, (5, 6, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+
+    s = np.sin(np.linspace(0, 60, 2000))
+    dec, sr = decode_wav(encode_wav(s, 8000))
+    assert sr == 8000 and dec.shape == (2000, 1)
+    assert np.abs(dec[:, 0] - s).max() < 1e-3
+
+    assert sniff(encode_png(img)) == "png"
+    assert sniff(encode_bmp(img)) == "bmp"
+    assert sniff(encode_ppm(img)) == "ppm"
+    assert sniff(encode_wav(s)) == "wav"
+    assert sniff(b"\x00\x00\x00 ftypmp42") is None
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff junkjpeg")

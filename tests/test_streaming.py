@@ -23,9 +23,14 @@ def test_stream_ingest_and_compact(spark, tmp_path):
     build_index(spark, spark.read.parquet(base_dir), root)
     n_before = WandEngine(root).N
 
-    # stream 60 new docs (different seed → new content) as corpus files
+    # stream 60 genuinely-new docs (ids 150..209 of the same deterministic
+    # corpus — keys the base index has never seen)
     stream_src = str(tmp_path / "incoming")
-    write_corpus(generate_corpus(spark, 60, seed=777), stream_src, partition_by=None)
+    new_docs = generate_corpus(spark, 210, seed=42).join(
+        generate_corpus(spark, 150, seed=42).select("repo", "path", "commit"),
+        ["repo", "path", "commit"], "left_anti",
+    )
+    write_corpus(new_docs, stream_src, partition_by=None)
     deltas = str(tmp_path / "deltas")
     q = stream_corpus_to_forward(
         spark, stream_src, deltas, str(tmp_path / "ckpt"), trigger_once=True
@@ -33,10 +38,29 @@ def test_stream_ingest_and_compact(spark, tmp_path):
     q.awaitTermination(120)
     delta_rows = spark.read.parquet(deltas)
     assert delta_rows.count() > 0
-    assert delta_rows.agg(F.min("doc_id")).collect()[0][0] >= (1 << 40)
+    assert delta_rows.agg(F.min("doc_id")).collect()[0][0] >= (1 << 62)
+    # docs delta materialized alongside the forward delta
+    from nextsearch_api_spark.streaming.ingest import delta_docs_dir
+    ddocs = spark.read.parquet(delta_docs_dir(deltas))
+    assert ddocs.count() == 60
+    assert {"doc_id", "uid", "repo", "doc_len", "content_sha256"} <= set(ddocs.columns)
 
     stats = compact_deltas(spark, root, deltas)
-    assert stats["N"] > n_before
+    assert stats["N"] == n_before + 60 and stats["gen"] == 1
+
+    # the flip is a single atomic pointer: CURRENT.json exists and every
+    # component resolves to the new generation
+    from nextsearch_api_spark.config import CURRENT_POINTER, IndexPaths
+    assert os.path.exists(os.path.join(root, CURRENT_POINTER))
+    p = IndexPaths(root)
+    assert p.postings.endswith("_g1") and p.docs.endswith("_g1")
+    assert p.stats.endswith("_g1.json")
+
+    # merged docs table now hydrates streamed docs too
+    streamed_uid = ddocs.select("uid").first()[0]
+    docs = spark.read.parquet(p.docs)
+    assert docs.where(F.col("uid") == streamed_uid).count() == 1
+    assert docs.count() == stats["N"]
 
     # merged index serves queries over both old and new docs
     w = WandEngine(root)
@@ -51,6 +75,28 @@ def test_stream_ingest_and_compact(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(deltas).count() == delta_rows.count()
+
+    # re-ingesting an EXISTING key with new content is an UPDATE: the old
+    # version's doc_id and postings are superseded, N stays constant
+    upd_src = str(tmp_path / "updates")
+    write_corpus(generate_corpus(spark, 5, seed=777), upd_src, partition_by=None)
+    deltas2 = str(tmp_path / "deltas2")
+    q3 = stream_corpus_to_forward(
+        spark, upd_src, deltas2, str(tmp_path / "ckpt3"), trigger_once=True
+    )
+    q3.awaitTermination(120)
+    stats2 = compact_deltas(spark, root, deltas2)
+    assert stats2["N"] == stats["N"] and stats2["gen"] == 2
+    docs2 = spark.read.parquet(IndexPaths(root).docs)
+    assert docs2.count() == stats2["N"]
+    # each uid appears exactly once (no duplicate versions)
+    assert docs2.groupBy("uid").count().where(F.col("count") > 1).count() == 0
+    # the updated docs now live at streamed ids; their dense ids are gone
+    upd_uids = [r["uid"] for r in spark.read.parquet(
+        delta_docs_dir(deltas2)).select("uid").collect()]
+    upd_rows = docs2.where(F.col("uid").isin(upd_uids)).collect()
+    assert len(upd_rows) == 5
+    assert all(r["doc_id"] >= (1 << 62) for r in upd_rows)
 
 
 def test_stream_event_rollup(spark, tmp_path):
