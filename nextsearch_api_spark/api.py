@@ -188,9 +188,14 @@ class Engine:
             table: dict[str, list[tuple[int, str]]] = {}
             for p, t, r in zip(tbl["prefix"], tbl["term"], tbl["rnk"]):
                 table.setdefault(p, []).append((int(r), t))
+            from nextsearch_api_spark.config import SUGGEST_MAX_PREFIX_LEN
             from nextsearch_api_spark.operators.autocomplete import Suggester
             s = Suggester.__new__(Suggester)
             s.table = {p: [t for _, t in sorted(v)] for p, v in table.items()}
+            # lexicon df map already in RAM (WandEngine) → exact long-prefix
+            # completion beyond the table's explosion bound
+            s.df_lookup = self.wand._df
+            s.max_prefix_len = SUGGEST_MAX_PREFIX_LEN
             self._suggester = s
         return self._suggester
 

@@ -67,6 +67,7 @@ POSTINGS_SCHEMA = StructType([
     StructField("count", IntegerType(), False),
     StructField("sum_tf", LongType(), False),
     StructField("max_tf", IntegerType(), False),
+    StructField("min_dl", IntegerType(), False),
     StructField("max_impact", FloatType(), False),
     StructField("tf_off", IntegerType(), False),
     StructField("dl_off", IntegerType(), False),
@@ -77,7 +78,7 @@ _KEY_SEP = "\x01"
 
 # bump when the on-disk chunk/lexicon format changes — forces resume logic to
 # rebuild indexes created by older code
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 def _parquet_rows(path: str) -> int:
@@ -368,6 +369,7 @@ def _pa_postings_schema():
         ("count", pa.int32()),
         ("sum_tf", pa.int64()),
         ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),
         ("max_impact", pa.float32()),
         ("tf_off", pa.int32()),
         ("dl_off", pa.int32()),
@@ -400,6 +402,11 @@ def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
 
     sum_tf = np.add.reduceat(tfs[:m], cst)
     max_tf = np.maximum.reduceat(tfs[:m], cst)
+    # min_dl: with max_tf it yields a sound per-chunk impact upper bound for
+    # ANY (k1, b, avgdl) — the serving tier recomputes bounds at load, so
+    # stats drift (incremental compaction changes avgdl) can never make the
+    # stored build-time max_impact unsound
+    min_dl = np.minimum.reduceat(dls[:m], cst)
     max_imp = np.maximum.reduceat(imp_all[:m], cst)
 
     blobs: list[bytes] = []
@@ -423,6 +430,7 @@ def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
             pa.array((cen - cst).astype(np.int32)),
             pa.array(sum_tf.astype(np.int64)),
             pa.array(max_tf.astype(np.int32)),
+            pa.array(min_dl.astype(np.int32)),
             pa.array(max_imp.astype(np.float32)),
             pa.array(tfo),
             pa.array(dlo),

@@ -3,9 +3,11 @@
 North-rule extension — the reference scores EVERY posting of every query term
 (no pruning, src/api_engine.cpp:444-481). This module adds top-k pruning per
 Ding & Suel 2011 ("Faster top-k document retrieval using block-max indexes"),
-adapted to our chunk layout: each posting chunk carries ``max_impact`` (the
-float32 BM25 tf/dl factor upper bound) so the WAND pivot test can skip whole
-chunks whose combined upper bound cannot beat the current k-th score.
+adapted to our chunk layout: per-chunk upper bounds are recomputed at load
+time from each chunk's (max_tf, min_dl) with the CURRENT k1/b/avgdl — sound
+under stats drift from incremental compaction — and the WAND pivot test
+skips whole chunks whose combined upper bound cannot beat the current k-th
+score.
 
 Serving profile: the driver process holds the lexicon + chunk directory in
 memory (pandas), reads only the needed posting rows from Parquet via pyarrow
@@ -51,7 +53,7 @@ class _TermCursor:
     def from_meta(cls, term: str, widf: float, chunks) -> "_TermCursor":
         lo = chunks["doc_lo"].to_numpy(dtype=np.int64)
         hi = chunks["doc_hi"].to_numpy(dtype=np.int64)
-        mx = chunks["max_impact"].to_numpy(dtype=np.float64) * widf
+        mx = chunks["ub_impact"].to_numpy(dtype=np.float64) * widf
         return cls(term=term, widf=widf, doc_lo=lo, doc_hi=hi, maxes=mx,
                    gub=float(mx.max()) if len(mx) else 0.0)
 
@@ -75,9 +77,13 @@ class WandEngine:
         self.N = int(self.stats["N"])
         self.avgdl = float(self.stats["avgdl"])
 
+        self._k1 = np.float32(self.params.k1)
+        self._b = np.float32(self.params.b)
+        self._avg32 = np.float32(self.avgdl)
+
         # lexicon: small (vocab-sized) → pandas in RAM
         lex = ds.dataset(self.paths.lexicon).to_table(
-            columns=["term", "df", "max_impact"]
+            columns=["term", "df"]
         ).to_pandas()
         self._df = dict(zip(lex["term"], lex["df"].astype(np.int64)))
 
@@ -85,8 +91,21 @@ class WandEngine:
         # analog. Kept in RAM; blobs are fetched lazily per query.
         self._pdir = ds.dataset(self.paths.postings)
         meta = self._pdir.to_table(
-            columns=["term", "doc_lo", "doc_hi", "count", "max_impact"]
+            columns=["term", "doc_lo", "doc_hi", "count", "max_tf", "min_dl"]
         ).to_pandas()
+        # Per-chunk upper bounds recomputed HERE from (max_tf, min_dl) with
+        # the CURRENT stats/params — impact is increasing in tf and
+        # decreasing in dl, so g(max_tf, min_dl) ≥ every posting's impact no
+        # matter what avgdl/k1/b the chunks were built with. Incremental
+        # compaction shifts avgdl without rewriting untouched chunks; the
+        # stored build-time max_impact would then be unsound, this never is.
+        one = np.float32(1.0)
+        tf32 = meta["max_tf"].to_numpy(dtype=np.float32)
+        dl32 = meta["min_dl"].to_numpy(dtype=np.float32)
+        ub = tf32 * (self._k1 + one) / (
+            tf32 + self._k1 * (one - self._b + self._b * (dl32 / self._avg32))
+        )
+        meta["ub_impact"] = ub.astype(np.float64)
         meta = meta.sort_values(["term", "doc_lo"], kind="mergesort")
         # invariant the cursor model depends on: per term, chunk doc ranges
         # are disjoint (⇒ doc_hi ascending along the doc_lo sort). Builds
@@ -104,9 +123,6 @@ class WandEngine:
         self._chunk_meta = {t: g.reset_index(drop=True)
                             for t, g in meta.groupby("term", sort=False)}
 
-        self._k1 = np.float32(self.params.k1)
-        self._b = np.float32(self.params.b)
-        self._avg32 = np.float32(self.avgdl)
         # optional semantic expansion (reference: loaded embeddings ⇒ every
         # search expands, api_engine.cpp:411-417; absent ⇒ weight-1.0 path)
         self.expander = None

@@ -14,11 +14,12 @@ streaming-shaped capability a Spark-native engine should have:
   * ``stream_event_rollup`` — watermarked tumbling-window aggregation over
     an event stream (the events.parquet shape), demonstrating late-data
     handling (q_events_hourly is its batch twin).
-  * ``compact_deltas`` — merges deltas into the main index by re-running the
-    postings/lexicon stages over forward ∪ deltas, then flips ALL components
-    (postings, lexicon, forward, docs, stats) to a new generation with ONE
-    atomic CURRENT.json replace (plans/generations.py) — a crash can never
-    mix generations (ADVICE r1).
+  * ``compact_deltas`` — merges deltas into the main index INCREMENTALLY:
+    only terms touched by the delta (or by superseded doc versions) are
+    decoded and re-chunked, untouched chunks are copied through; then ALL
+    components (postings, lexicon, forward, docs, stats) flip to a new
+    generation with ONE atomic CURRENT.json replace (plans/generations.py)
+    — a crash can never mix generations (ADVICE r1).
 
 doc_id for streamed docs: content-addressed (uid hash) rather than dense —
 dense ranks are a batch-build property. The id is a 60-bit slice of the
@@ -221,7 +222,30 @@ def compact_deltas(spark: SparkSession, index_root: str,
     N = int(row["N"])
     avgdl = float(row["tot"]) / N if N else 0.0
 
-    chunks = build_posting_chunks(fw, avgdl, cfg)
+    # INCREMENTAL re-chunk (VERDICT r1 'next' #9): only terms the delta
+    # touches — terms in new/updated docs plus terms of superseded docs —
+    # are decoded and rebuilt; every other term's chunks are copied through
+    # untouched. CPU cost is ∝ affected-term postings, not index size (the
+    # new-generation copy is linear I/O but no decode/sort/encode). Untouched
+    # chunks keep their build-time max_impact computed with the OLD avgdl —
+    # sound because the serving tier recomputes WAND bounds at load from
+    # (max_tf, min_dl) with the current stats (operators/wand.py).
+    affected = (
+        fw_delta.select("term")
+        .unionByName(
+            spark.read.parquet(fw_path)
+            .join(F.broadcast(superseded), "doc_id", "left_semi")
+            .select("term")
+        )
+        .distinct()
+        .cache()
+    )
+    n_affected = affected.count()
+    old_post = spark.read.parquet(paths.postings)
+    untouched = old_post.join(affected, "term", "left_anti")
+    fw_affected = fw.join(affected, "term", "left_semi")
+    rebuilt = build_posting_chunks(fw_affected, avgdl, cfg)
+    chunks = untouched.unionByName(rebuilt)
     post_new = gen_path(index_root, "postings", gen)
     chunks.write.mode("overwrite").parquet(post_new)
     lex = (
@@ -249,4 +273,5 @@ def compact_deltas(spark: SparkSession, index_root: str,
         "docs": os.path.basename(docs_new),
         "stats": os.path.basename(stats_new),
     }, gen)
-    return {"N": N, "avgdl": avgdl, "gen": gen}
+    affected.unpersist()
+    return {"N": N, "avgdl": avgdl, "gen": gen, "affected_terms": n_affected}

@@ -87,6 +87,17 @@ def test_stream_ingest_and_compact(spark, tmp_path):
     q3.awaitTermination(120)
     stats2 = compact_deltas(spark, root, deltas2)
     assert stats2["N"] == stats["N"] and stats2["gen"] == 2
+    # incremental: only delta-touched terms were re-chunked
+    total_terms = spark.read.parquet(IndexPaths(root).lexicon).count()
+    assert 0 < stats2["affected_terms"] < total_terms
+    # WAND bounds stay sound across the avgdl drift of incremental merges
+    # (untouched chunks keep build-time max_impact; bounds are recomputed)
+    w2 = WandEngine(root)
+    for q in ("hotterm", "hotterm buffer", "buffer cache3"):
+        pr = w2.search(q, 10, mode="wand")
+        fu = w2.search(q, 10, mode="taat")
+        assert ([r["doc_id"] for r in pr["results"]]
+                == [r["doc_id"] for r in fu["results"]]), q
     docs2 = spark.read.parquet(IndexPaths(root).docs)
     assert docs2.count() == stats2["N"]
     # each uid appears exactly once (no duplicate versions)

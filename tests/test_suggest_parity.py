@@ -56,3 +56,28 @@ def test_wand_random_queries_match_taat(tiny_index, lex_pdf):
         ], f"trial {trial}: {q!r} k={k}"
         exp = oracle.search(q, k)
         assert [r["doc_id"] for r in full["results"]] == list(exp["doc_id"]), q
+
+
+def test_long_prefix_falls_back_to_lexicon_scan(spark):
+    """Prefixes beyond the table's 12-char explosion bound must still
+    complete (the reference trie is unbounded) when a df lookup is given."""
+    from nextsearch_api_spark.operators.autocomplete import build_suggest
+
+    lex = spark.createDataFrame(
+        [("supercalifragilistic", 50), ("supercalifornia", 80),
+         ("supper", 10), ("buffer", 99)],
+        "term string, df long",
+    )
+    sug_df = build_suggest(lex)
+    dfmap = {r["term"]: r["df"] for r in lex.collect()}
+    s = Suggester(sug_df, df_lookup=dfmap)
+    # 13-char prefix: not in the table, served by the exact scan
+    assert s.suggest("supercalif", 5) == ["supercalifornia", "supercalifragilistic"]
+    assert s.suggest("supercalifrag", 5) == ["supercalifragilistic"]
+    assert s.suggest("supercalifragilistic", 5) == ["supercalifragilistic"]
+    assert s.suggest("supercalifragilisticz", 5) == []
+    # without the lookup the old behavior (empty) remains
+    s2 = Suggester(sug_df)
+    assert s2.suggest("supercalifrag", 5) == []
+    # short prefixes still use the precomputed table
+    assert s.suggest("sup", 5) == ["supercalifornia", "supercalifragilistic", "supper"]
