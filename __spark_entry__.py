@@ -358,6 +358,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(spark, path, H, qv, k=10, multiprobe=1)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN probe: training-free spherical coarse
+    quantizer with deterministic seed-7 centroids, cell-partitioned index,
+    top-2-cell probe, exact cosine within. Hash-checked against a DuckDB
+    oracle with the centroids inlined as literals."""
+    import tempfile
+
+    from nextsearch_api_spark.operators.similarity import (
+        build_ivf_index, ivf_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    path = os.path.join(tempfile.gettempdir(),
+                        "ns_ivf_" + os.path.basename(os.path.normpath(sf_dir)))
+    C = build_ivf_index(emb.where(F.col("vec_id") != 0), path,
+                        n_centroids=16, seed=7)
+    return ivf_topk(spark, path, C, qv, k=10, nprobe=2)
+
+
 # ------------------------------------------------- similarity / vectors --
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_topk": q_cosine_topk,
         "label_centroid_norm": q_label_centroid_norm,
         "events_hourly": q_events_hourly,
@@ -658,6 +680,44 @@ sims AS (
   FROM buck b CROSS JOIN q
   WHERE b.vec_id <> 0
     AND (b.bucket = q.qb OR bit_count(xor(b.bucket, q.qb)) = 1))
+SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
+  SELECT vec_id, cos,
+         row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rank
+  FROM sims) t
+WHERE rank <= 10"""
+
+    # ann_ivf_topk oracle: seed-7 centroids inlined; cell = per-vector argmax
+    # dot (row_number window), probe = top-2 centroids for the query, exact
+    # cosine within probed cells
+    from nextsearch_api_spark.operators.similarity import ivf_centroids
+    C = ivf_centroids(64, 16, seed=7)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(float(x)) for x in C[i]))
+        for i in range(16)
+    )
+    sql["ann_ivf_topk"] = f"""
+WITH cents(cid, cv) AS (VALUES
+    {cent_rows}),
+vecs AS (SELECT vec_id,
+                list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         FROM embeddings),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+  FROM vecs CROSS JOIN cents),
+cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE rn = 1),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+qprobe AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY list_dot_product(q.qv, cv) DESC, cid LIMIT 2),
+sims AS (
+  SELECT c.vec_id,
+         list_dot_product(c.v, q.qv)
+         / (sqrt(list_dot_product(c.v, c.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM cells c CROSS JOIN q
+  WHERE c.vec_id <> 0 AND c.cell IN (SELECT cid FROM qprobe))
 SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
   SELECT vec_id, cos,
          row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rank

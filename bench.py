@@ -219,20 +219,18 @@ def main() -> None:
                          os.environ.get("SCALING_POINTS",
                                         "1,2,4,8,16").split(",") if x}
                         | {lo, cpus})
-        runs_lo, runs_hi = [], []
+        best_run: dict[int, dict] = {}
         curve: dict[int, list[float]] = {p: [] for p in points}
         for _ in range(repeats):
             for p in points:
                 r = pinned_run(p)
                 curve[p].append(r["build_seconds"])
-                if p == lo:
-                    runs_lo.append(r)
-                if p == cpus:
-                    runs_hi.append(r)
-        r_lo = min(runs_lo, key=lambda r: r["build_seconds"])
-        r_hi = min(runs_hi, key=lambda r: r["build_seconds"])
-        r_lo["all_build_seconds"] = [r["build_seconds"] for r in runs_lo]
-        r_hi["all_build_seconds"] = [r["build_seconds"] for r in runs_hi]
+                if (p not in best_run
+                        or r["build_seconds"] < best_run[p]["build_seconds"]):
+                    best_run[p] = r
+        r_lo, r_hi = best_run[lo], best_run[cpus]
+        r_lo["all_build_seconds"] = curve[lo]
+        r_hi["all_build_seconds"] = curve[cpus]
         eff = (r_lo["build_seconds"] / r_hi["build_seconds"]) / (cpus / lo)
         best = {p: min(v) for p, v in curve.items() if v}
         base_p = min(best)

@@ -125,6 +125,65 @@ def build_ann_index(emb: DataFrame, out_path: str, n_planes: int = 12,
     return H
 
 
+def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic spherical coarse-quantizer centroids: seeded Gaussian
+    rows, L2-normalized. A training-free IVF (inverted-file) variant — cells
+    are the Voronoi regions of random directions, the standard
+    random-projection baseline for coarse quantization. Deterministic seeding
+    keeps the whole index (and its SQL oracle) reproducible."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_centroids, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_cell_udf(centroids: np.ndarray):
+    """pandas UDF: embedding → cell id = argmax cosine(centroid, v)
+    (ties → lowest cell id, matching SQL (dot desc, cid asc))."""
+    C = centroids.astype(np.float64)
+
+    def cell(batch: pd.Series) -> pd.Series:
+        M = np.stack(batch.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        dots = (M / norms) @ C.T
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int32),
+                         index=batch.index)
+
+    return F.pandas_udf(cell, IntegerType())
+
+
+def build_ivf_index(emb: DataFrame, out_path: str, n_centroids: int = 16,
+                    seed: int = 7, vec_col: str = "embedding") -> np.ndarray:
+    """Materialize the IVF-bucketed table partitioned by cell — partition
+    pruning serves each probe with ~nprobe/n_centroids of the scan. The
+    scale path for ANN where hyperplane-LSH's 2^n_planes bucket count is too
+    coarse a knob: n_centroids tracks data size directly, nprobe trades
+    recall for read volume."""
+    dim = len(emb.select(vec_col).first()[0])
+    C = ivf_centroids(dim, n_centroids, seed)
+    cell = ivf_cell_udf(C)
+    (emb.withColumn("cell", cell(F.col(vec_col)))
+        .repartition("cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(out_path))
+    return C
+
+
+def ivf_topk(spark, index_path: str, centroids: np.ndarray,
+             query_vec: list[float], k: int = 10, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe the ``nprobe`` cells whose centroids are most cosine-similar to
+    the query; exact cosine top-k within the probed cells."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    dots = centroids @ (qv / qn if qn else qv)
+    order = np.lexsort((np.arange(len(dots)), -dots))
+    probe = sorted(int(c) for c in order[:nprobe])
+    df = spark.read.parquet(index_path).where(
+        F.col("cell").isin(probe)  # → partition pruning
+    )
+    return cosine_topk(df, list(map(float, qv)), k, id_col, vec_col)
+
+
 def ann_lsh_topk(spark, index_path: str, planes: np.ndarray,
                  query_vec: list[float], k: int = 10, multiprobe: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
