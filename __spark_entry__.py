@@ -358,6 +358,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(spark, path, H, qv, k=10, multiprobe=1)
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket self-join (seed-42
+    hyperplanes) + exact cosine ≥ τ. Completes the dedup family's vector
+    modality; hash-checked against a DuckDB oracle with inlined planes."""
+    from nextsearch_api_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), n_planes=8,
+                                    seed=42, tau=0.3)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN probe: training-free spherical coarse
     quantizer with deterministic seed-7 centroids, cell-partitioned index,
@@ -452,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_near_dup": q_emb_near_dup,
         "cosine_topk": q_cosine_topk,
         "label_centroid_norm": q_label_centroid_norm,
         "events_hourly": q_events_hourly,
@@ -685,6 +698,28 @@ SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
          row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rank
   FROM sims) t
 WHERE rank <= 10"""
+
+    # emb_near_dup oracle: same inlined planes; bucket self-join + cosine ≥ τ
+    sql["emb_near_dup"] = f"""
+WITH planes(pid, pv) AS (VALUES
+    {plane_rows}),
+vecs AS (SELECT vec_id,
+                list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         FROM embeddings),
+buck AS (
+  SELECT vec_id, v,
+         sum(CASE WHEN list_dot_product(v, pv) > 0
+                  THEN 1 << pid ELSE 0 END)::INT AS bucket
+  FROM vecs CROSS JOIN planes GROUP BY vec_id, v)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM buck a JOIN buck b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3"""
 
     # ann_ivf_topk oracle: seed-7 centroids inlined; cell = per-vector argmax
     # dot (row_number window), probe = top-2 centroids for the query, exact

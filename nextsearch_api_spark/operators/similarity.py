@@ -125,6 +125,36 @@ def build_ann_index(emb: DataFrame, out_path: str, n_planes: int = 12,
     return H
 
 
+def embedding_near_dup_pairs(emb: DataFrame, n_planes: int = 8,
+                             seed: int = 42, tau: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector twin of MinHash
+    near-dup dedup: candidate pairs come from an LSH-bucket SELF-JOIN (same
+    sign pattern over ``n_planes`` seeded hyperplanes — never an all-pairs
+    cross join), then exact cosine keeps pairs ≥ ``tau``.
+
+    Scale shape: the join is keyed by bucket (2^n_planes buckets), so the
+    candidate volume is Σ_b |b|² instead of N²; n_planes tunes bucket size.
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b, JVM-side cosine."""
+    H = hyperplanes(len(emb.select(vec_col).first()[0]), n_planes, seed)
+    b = lsh_bucket_udf(H)
+    t = emb.select(F.col(id_col).alias("vid"),
+                   F.col(vec_col).alias("v")).withColumn("bucket", b(F.col("v")))
+    a, c = t.alias("a"), t.alias("b")
+    cos = (
+        F.expr(_DOT.format(a="a.v", b="b.v"))
+        / (F.expr(_norm_expr("a.v")) * F.expr(_norm_expr("b.v")))
+    )
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+                F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= tau)
+    )
+
+
 def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> np.ndarray:
     """Deterministic spherical coarse-quantizer centroids: seeded Gaussian
     rows, L2-normalized. A training-free IVF (inverted-file) variant — cells

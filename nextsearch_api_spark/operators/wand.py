@@ -193,7 +193,8 @@ class WandEngine:
                 occ[t] = occ.get(t, 0.0) + 1.0
             qterms = [(t, c) for t, c in occ.items() if t in self._df]
         if not qterms:
-            return {"query": query, "k": k, "segments": 1, "found": 0, "results": []}
+            return {"query": query, "k": k, "segments": 1, "found": 0,
+                    "mode": "none", "results": []}
 
         dfs = np.array([self._df[t] for t, _ in qterms], dtype=np.int64)
         idfs = bm25_idf(self.N, dfs, self.params.precision)
@@ -238,22 +239,43 @@ class WandEngine:
             top = part[order]
             return {
                 "query": query, "k": k, "segments": 1, "found": found,
+                "mode": "taat",
                 "results": [
                     {"rank": i + 1, "doc_id": int(matched[j]),
                      "score": float(ms[j])}
                     for i, j in enumerate(top)
                 ],
             }
-        # sparse fallback (doc-id space too large for a dense array)
-        sdict: dict[int, float] = {}
+        # sparse fallback (doc-id space too large for a dense array):
+        # vectorized via np.unique compaction — exact found, no Python loop,
+        # works for any id space (e.g. streamed 2^62-range ids)
+        id_parts: list[np.ndarray] = []
+        c_parts: list[np.ndarray] = []
         for cur in cursors:
             blobs = blob_cache[cur.term]
             for row in blobs.itertuples(index=False):
                 doc_ids, imp = self._decode_impacts_t(row)
-                contrib = imp.astype(np.float64) * cur.widf
-                for d, s in zip(doc_ids.tolist(), contrib.tolist()):
-                    sdict[d] = sdict.get(d, 0.0) + s
-        return self._finalize(query, k, sdict)
+                id_parts.append(doc_ids)
+                c_parts.append(imp.astype(np.float64) * cur.widf)
+        if not id_parts:
+            return self._finalize(query, k, {})
+        ids_all = np.concatenate(id_parts)
+        uniq, inv = np.unique(ids_all, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, np.concatenate(c_parts))
+        found = int(len(uniq))
+        kk = min(k, found)
+        part = np.argpartition(-acc, kk - 1)[:kk]
+        order = np.lexsort((uniq[part], -acc[part]))
+        top = part[order]
+        return {
+            "query": query, "k": k, "segments": 1, "found": found,
+            "mode": "taat",
+            "results": [
+                {"rank": i + 1, "doc_id": int(uniq[j]), "score": float(acc[j])}
+                for i, j in enumerate(top)
+            ],
+        }
 
     def _decode_impacts_t(self, row) -> tuple[np.ndarray, np.ndarray]:
         """Like _decode_impacts but for itertuples rows."""
@@ -414,16 +436,17 @@ class WandEngine:
                 threshold = heap[0][0]
 
         topk = {-d: s for s, d in heap}
-        return self._finalize(query, k, topk, found=len(scores))
+        return self._finalize(query, k, topk, found=len(scores), mode="wand")
 
     def _finalize(self, query, k, scores: dict[int, float],
-                  found: int | None = None) -> dict:
+                  found: int | None = None, mode: str = "taat") -> dict:
         items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return {
             "query": query,
             "k": k,
             "segments": 1,
             "found": len(scores) if found is None else found,
+            "mode": mode,
             "results": [
                 {"rank": i + 1, "doc_id": d, "score": s}
                 for i, (d, s) in enumerate(items)

@@ -266,12 +266,19 @@ def compact_deltas(spark: SparkSession, index_root: str,
     with open(stats_new, "w") as f:
         json.dump(stats, f, indent=2)
 
+    # suggest rankings are df-ordered — refresh them from the merged lexicon
+    # so autocomplete doesn't serve stale frequencies after the flip
+    from nextsearch_api_spark.operators.autocomplete import build_suggest
+    sug_new = gen_path(index_root, "suggest", gen)
+    build_suggest(spark.read.parquet(lex_new)).write.mode("overwrite").parquet(sug_new)
+
     flip_generation(index_root, {
         "postings": os.path.basename(post_new),
         "lexicon": os.path.basename(lex_new),
         "forward": os.path.basename(fw_new),
         "docs": os.path.basename(docs_new),
         "stats": os.path.basename(stats_new),
+        "suggest": os.path.basename(sug_new),
     }, gen)
     affected.unpersist()
     return {"N": N, "avgdl": avgdl, "gen": gen, "affected_terms": n_affected}

@@ -98,6 +98,17 @@ def test_stream_ingest_and_compact(spark, tmp_path):
         fu = w2.search(q, 10, mode="taat")
         assert ([r["doc_id"] for r in pr["results"]]
                 == [r["doc_id"] for r in fu["results"]]), q
+
+    # Engine-level `found` is EXACT even when auto mode routes to WAND
+    # (streamed 2^62-range ids exceed the dense-TAAT limit): single-term
+    # found must equal the lexicon df
+    from nextsearch_api_spark.api import Engine
+    eng = Engine(root)
+    res = eng.search("hotterm", 3)
+    df_hot = (spark.read.parquet(IndexPaths(root).lexicon)
+              .where(F.col("term") == "hotterm").collect()[0]["df"])
+    assert res["found"] == df_hot
+    assert "mode" not in res  # internal field stripped from the JSON shape
     docs2 = spark.read.parquet(IndexPaths(root).docs)
     assert docs2.count() == stats2["N"]
     # each uid appears exactly once (no duplicate versions)
