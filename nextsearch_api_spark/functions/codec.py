@@ -27,6 +27,7 @@ __all__ = [
     "varbyte_decode",
     "encode_chunk",
     "decode_chunk",
+    "decode_chunks_concat",
 ]
 
 
@@ -130,4 +131,33 @@ def decode_chunk(
     doc_ids = np.cumsum(gaps, dtype=np.int64)
     tfs = varbyte_decode(mv[tf_off:dl_off]).astype(np.int64)
     dls = varbyte_decode(mv[dl_off:]).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def decode_chunks_concat(
+    blobs, tf_offs, dl_offs, counts
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY chunks in three vectorized passes (one per stream) →
+    concatenated (doc_ids, tfs, dls). ``counts`` = postings per chunk (the
+    chunk-row ``count`` column) locates segment boundaries so the gap
+    cumsum can be reset per chunk. ~chunk-count× fewer NumPy kernel launches
+    than per-chunk decode_chunk — the serving tier's hot decode path."""
+    if len(blobs) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    g = b"".join(memoryview(b)[:to] for b, to in zip(blobs, tf_offs))
+    t = b"".join(memoryview(b)[to:do]
+                 for b, to, do in zip(blobs, tf_offs, dl_offs))
+    d = b"".join(memoryview(b)[do:] for b, do in zip(blobs, dl_offs))
+    gaps = varbyte_decode(np.frombuffer(g, dtype=np.uint8)).astype(np.int64)
+    tfs = varbyte_decode(np.frombuffer(t, dtype=np.uint8)).astype(np.int64)
+    dls = varbyte_decode(np.frombuffer(d, dtype=np.uint8)).astype(np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    cum = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # per-segment cumsum: subtract the running total at each chunk start
+    # (gaps[start] is the chunk's absolute first doc id)
+    corr = np.zeros(len(counts), dtype=np.int64)
+    corr[1:] = cum[starts[1:] - 1]
+    doc_ids = cum - np.repeat(corr, counts)
     return doc_ids, tfs, dls

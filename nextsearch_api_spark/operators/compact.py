@@ -104,9 +104,10 @@ def compact_postings(spark: SparkSession, index_root: str,
     rebuilt = build_posting_chunks(
         decode_postings_to_tokens(frag), stats["avgdl"], cfg
     )
+    from nextsearch_api_spark.operators.build import write_postings_sorted
     merged = keep.unionByName(rebuilt)
     post_new = gen_path(index_root, "postings", gen)
-    merged.write.mode("overwrite").parquet(post_new)
+    write_postings_sorted(merged, post_new)
 
     lex_new = (
         spark.read.parquet(post_new).groupBy("term").agg(

@@ -26,12 +26,15 @@ from __future__ import annotations
 import heapq
 import json
 import os
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
 
 from nextsearch_api_spark.config import BM25Params, IndexPaths
-from nextsearch_api_spark.functions.codec import decode_chunk
+from nextsearch_api_spark.functions.codec import (
+    decode_chunk, decode_chunks_concat,
+)
 from nextsearch_api_spark.operators.query import bm25_idf, clamp_k, parse_query
 
 
@@ -123,6 +126,38 @@ class WandEngine:
         self._chunk_meta = {t: g.reset_index(drop=True)
                             for t, g in meta.groupby("term", sort=False)}
 
+        # per-file term ranges from Parquet footers: with the term-sorted
+        # serving layout each term lives in exactly one file, so a query can
+        # open 1-2 files instead of paying per-file scan overhead across the
+        # whole directory (measured: the open overhead, not bytes, dominated
+        # cold reads). Ranges overlap-free under layout='term'; the lookup
+        # degrades gracefully (more files selected) for unsorted layouts.
+        self._file_ranges: list[tuple[str, str, str]] = []
+        try:
+            for frag in self._pdir.get_fragments():
+                md = frag.metadata
+                tmin = tmax = None
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        if col.path_in_schema == "term" and col.statistics:
+                            st = col.statistics
+                            if st.has_min_max:
+                                tmin = st.min if tmin is None else min(tmin, st.min)
+                                tmax = st.max if tmax is None else max(tmax, st.max)
+                if tmin is not None:
+                    self._file_ranges.append((tmin, tmax, frag.path))
+            self._file_ranges.sort()
+        except Exception:
+            self._file_ranges = []  # fall back to whole-dataset reads
+
+        # bounded term→blobs cache (the reference keeps ALL postings in RAM,
+        # api_engine.cpp:453-475; we cache the hot working set — real query
+        # streams are Zipfian, so repeated hot terms skip the Parquet read)
+        self._blob_cache: "OrderedDict[str, pd.DataFrame]" = OrderedDict()  # noqa: F821
+        self._blob_cache_bytes = 0
+        self.blob_cache_limit = 256 << 20  # bytes of blob payload
+
         # optional semantic expansion (reference: loaded embeddings ⇒ every
         # search expands, api_engine.cpp:411-417; absent ⇒ weight-1.0 path)
         self.expander = None
@@ -138,18 +173,69 @@ class WandEngine:
     # ------------------------------------------------------------- scoring --
 
     def _load_term_chunks(self, terms: list[str]) -> dict[str, "pd.DataFrame"]:  # noqa: F821
-        """ONE filtered Parquet read for all query terms (term-sorted files →
-        row-group pruning via min/max stats; the offset-seek analog)."""
+        """ONE filtered Parquet read for all uncached query terms (term-sorted
+        files → row-group pruning via min/max stats; the offset-seek analog),
+        merged with the bounded LRU of previously fetched terms."""
         import pyarrow.dataset as ds
-        if not terms:
-            return {}
-        t = self._pdir.to_table(
-            columns=["term", "doc_lo", "tf_off", "dl_off", "blob"],
-            filter=ds.field("term").isin(terms),
-        ).to_pandas()
-        t = t.sort_values(["term", "doc_lo"], kind="mergesort")
-        return {term: g.reset_index(drop=True)
-                for term, g in t.groupby("term", sort=False)}
+        out: dict = {}
+        missing: list[str] = []
+        for term in terms:
+            if term in self._blob_cache:
+                self._blob_cache.move_to_end(term)
+                out[term] = self._blob_cache[term]
+            else:
+                missing.append(term)
+        if missing:
+            src = self._pdir
+            if self._file_ranges:
+                files = [p for (tmin, tmax, p) in self._file_ranges
+                         if any(tmin <= t <= tmax for t in missing)]
+                if files:
+                    src = ds.dataset(files, format="parquet")
+                else:
+                    src = None  # no file can contain any missing term
+            if src is None:
+                import pandas as pd
+                t = pd.DataFrame({"term": [], "doc_lo": [], "count": [],
+                                  "tf_off": [], "dl_off": [], "blob": []})
+            else:
+                t = src.to_table(
+                    columns=["term", "doc_lo", "count", "tf_off", "dl_off",
+                             "blob"],
+                    filter=ds.field("term").isin(missing),
+                ).to_pandas()
+            t = t.sort_values(["term", "doc_lo"], kind="mergesort")
+            for term, g in t.groupby("term", sort=False):
+                g = g.reset_index(drop=True)
+                out[term] = g
+                sz = int(g["blob"].map(len).sum())
+                self._blob_cache[term] = g
+                self._blob_cache_bytes += sz
+                while (self._blob_cache_bytes > self.blob_cache_limit
+                       and len(self._blob_cache) > 1):
+                    _, old = self._blob_cache.popitem(last=False)
+                    self._blob_cache_bytes -= int(old["blob"].map(len).sum())
+        return out
+
+    def _impacts32(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        tf32 = tfs.astype(np.float32)
+        dl32 = dls.astype(np.float32)
+        one = np.float32(1.0)
+        imp = tf32 * (self._k1 + one) / (
+            tf32 + self._k1 * (one - self._b + self._b * (dl32 / self._avg32))
+        )
+        return imp.astype(np.float32)
+
+    def _decode_term_all(self, blobs) -> tuple[np.ndarray, np.ndarray]:
+        """Decode ALL of one term's chunks in three vectorized passes →
+        (doc_ids, float32 impacts)."""
+        doc_ids, tfs, dls = decode_chunks_concat(
+            blobs["blob"].tolist(),
+            blobs["tf_off"].to_numpy(dtype=np.int64),
+            blobs["dl_off"].to_numpy(dtype=np.int64),
+            blobs["count"].to_numpy(dtype=np.int64),
+        )
+        return doc_ids, self._impacts32(tfs, dls)
 
     def _decode_impacts(self, row) -> tuple[np.ndarray, np.ndarray]:
         doc_ids, tfs, dls = decode_chunk(
@@ -222,10 +308,8 @@ class WandEngine:
         if max_doc <= self.DENSE_LIMIT:
             scores = np.zeros(max_doc + 1, dtype=np.float64)
             for cur in cursors:
-                blobs = blob_cache[cur.term]
-                for row in blobs.itertuples(index=False):
-                    doc_ids, imp = self._decode_impacts_t(row)
-                    np.add.at(scores, doc_ids, imp.astype(np.float64) * cur.widf)
+                doc_ids, imp = self._decode_term_all(blob_cache[cur.term])
+                np.add.at(scores, doc_ids, imp.astype(np.float64) * cur.widf)
             matched = np.nonzero(scores)[0]
             found = int(matched.size)
             if found == 0:
@@ -252,11 +336,9 @@ class WandEngine:
         id_parts: list[np.ndarray] = []
         c_parts: list[np.ndarray] = []
         for cur in cursors:
-            blobs = blob_cache[cur.term]
-            for row in blobs.itertuples(index=False):
-                doc_ids, imp = self._decode_impacts_t(row)
-                id_parts.append(doc_ids)
-                c_parts.append(imp.astype(np.float64) * cur.widf)
+            doc_ids, imp = self._decode_term_all(blob_cache[cur.term])
+            id_parts.append(doc_ids)
+            c_parts.append(imp.astype(np.float64) * cur.widf)
         if not id_parts:
             return self._finalize(query, k, {})
         ids_all = np.concatenate(id_parts)
@@ -276,17 +358,6 @@ class WandEngine:
                 for i, j in enumerate(top)
             ],
         }
-
-    def _decode_impacts_t(self, row) -> tuple[np.ndarray, np.ndarray]:
-        """Like _decode_impacts but for itertuples rows."""
-        doc_ids, tfs, dls = decode_chunk(row.blob, int(row.tf_off), int(row.dl_off))
-        tf32 = tfs.astype(np.float32)
-        dl32 = dls.astype(np.float32)
-        one = np.float32(1.0)
-        imp = tf32 * (self._k1 + one) / (
-            tf32 + self._k1 * (one - self._b + self._b * (dl32 / self._avg32))
-        )
-        return doc_ids, imp.astype(np.float32)
 
     def _block_max_wand(self, query, k, cursors, blob_cache) -> dict:
         """Block-max WAND (Ding & Suel 2011) with a bounded min-heap.
@@ -457,10 +528,15 @@ class WandEngine:
         """Exact distinct matched docs (reference 'found',
         api_engine.cpp:495) without scoring — union of posting doc ids."""
         terms = [t for t in set(parse_query(query)) if t in self._df]
-        seen: set[int] = set()
+        parts = []
         for chunks in self._load_term_chunks(terms).values():
-            for row in chunks.itertuples(index=False):
-                ids, _, _ = decode_chunk(row.blob, int(row.tf_off),
-                                         int(row.dl_off))
-                seen.update(ids.tolist())
-        return len(seen)
+            ids, _, _ = decode_chunks_concat(
+                chunks["blob"].tolist(),
+                chunks["tf_off"].to_numpy(dtype=np.int64),
+                chunks["dl_off"].to_numpy(dtype=np.int64),
+                chunks["count"].to_numpy(dtype=np.int64),
+            )
+            parts.append(ids)
+        if not parts:
+            return 0
+        return int(np.unique(np.concatenate(parts)).size)

@@ -244,10 +244,11 @@ def compact_deltas(spark: SparkSession, index_root: str,
     old_post = spark.read.parquet(paths.postings)
     untouched = old_post.join(affected, "term", "left_anti")
     fw_affected = fw.join(affected, "term", "left_semi")
+    from nextsearch_api_spark.operators.build import write_postings_sorted
     rebuilt = build_posting_chunks(fw_affected, avgdl, cfg)
     chunks = untouched.unionByName(rebuilt)
     post_new = gen_path(index_root, "postings", gen)
-    chunks.write.mode("overwrite").parquet(post_new)
+    write_postings_sorted(chunks, post_new)
     lex = (
         spark.read.parquet(post_new)
         .groupBy("term").agg(

@@ -49,3 +49,31 @@ def test_chunk_compression_beats_raw():
     dls = np.full(len(ids), 300, dtype=np.int64)
     blob, *_ = encode_chunk(ids, tfs, dls)
     assert len(blob) < len(ids) * 8
+
+
+def test_decode_chunks_concat_matches_per_chunk():
+    """Batched 3-pass decode == per-chunk decode for many chunks."""
+    import numpy as np
+
+    from nextsearch_api_spark.functions.codec import (
+        decode_chunk, decode_chunks_concat, encode_chunk,
+    )
+
+    rng = np.random.default_rng(9)
+    blobs, tfo, dlo, counts = [], [], [], []
+    exp_ids, exp_tfs, exp_dls = [], [], []
+    for ci in range(7):
+        n = int(rng.integers(1, 200))
+        ids = np.cumsum(rng.integers(1, 50, n)) + ci * 100000
+        tfs = rng.integers(1, 300, n)
+        dls = rng.integers(1, 5000, n)
+        blob, to, do = encode_chunk(ids, tfs, dls)
+        blobs.append(blob); tfo.append(to); dlo.append(do); counts.append(n)
+        d_ids, d_tfs, d_dls = decode_chunk(blob, to, do)
+        exp_ids.append(d_ids); exp_tfs.append(d_tfs); exp_dls.append(d_dls)
+    g_ids, g_tfs, g_dls = decode_chunks_concat(blobs, tfo, dlo, counts)
+    assert (g_ids == np.concatenate(exp_ids)).all()
+    assert (g_tfs == np.concatenate(exp_tfs)).all()
+    assert (g_dls == np.concatenate(exp_dls)).all()
+    z_ids, z_tfs, z_dls = decode_chunks_concat([], [], [], [])
+    assert len(z_ids) == len(z_tfs) == len(z_dls) == 0
