@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections import OrderedDict
 from typing import Any, Callable
@@ -27,7 +28,9 @@ from nextsearch_api_spark.feedback import FeedbackManager, validate_feedback
 from nextsearch_api_spark.operators.query import clamp_k
 from nextsearch_api_spark.operators.wand import WandEngine
 
-SEARCH_CACHE_CAP = 2600   # reference: api_engine.hpp:42
+SEARCH_CACHE_CAP = 2600        # reference: api_engine.hpp:42
+AI_OVERVIEW_CACHE_CAP = 500    # reference: api_engine.hpp:48-49
+AI_SUMMARY_CACHE_CAP = 1000    # reference: api_engine.hpp:54-55
 
 
 class LruCache:
@@ -79,6 +82,11 @@ class Engine:
         self.hooks: dict[str, Callable] = {}  # e.g. 'ai_overview' integration
         self._counters = {"searches": 0, "suggests": 0, "reloads": 0,
                           "search_cache_hits": 0}
+        # engine-wide mutex, like the reference's Engine::mtx
+        # (api_engine.hpp:59): the HTTP layer serves one Engine from many
+        # threads; cache get/put and counter updates are check-then-act
+        # sequences that must not interleave (ADVICE r2)
+        self._lock = threading.RLock()
         self.feedback_store = FeedbackManager(
             os.path.join(cache_dir, "feedback.json") if cache_dir else None
         )
@@ -90,11 +98,22 @@ class Engine:
         if self.embeddings_path:
             self.wand.load_embeddings(self.embeddings_path)
         self._suggester = None  # lazy
-        persist = None
-        if self.cache_dir:
+        def _persist(name: str) -> str | None:
+            if not self.cache_dir:
+                return None
             os.makedirs(self.cache_dir, exist_ok=True)
-            persist = os.path.join(self.cache_dir, "search_cache.json")
-        self.search_cache = LruCache(SEARCH_CACHE_CAP, persist)
+            return os.path.join(self.cache_dir, name)
+
+        self.search_cache = LruCache(SEARCH_CACHE_CAP,
+                                     _persist("search_cache.json"))
+        # AI response caches (reference: api_engine.hpp:46-57 — 500 overviews
+        # keyed "query|k", 1000 summaries keyed "summary|uid", persisted on
+        # every update like the search cache). Recreating on reload re-reads
+        # the persisted entries, so cached AI responses survive /api/reload.
+        self.ai_overview_cache = LruCache(AI_OVERVIEW_CACHE_CAP,
+                                          _persist("ai_overview_cache.json"))
+        self.ai_summary_cache = LruCache(AI_SUMMARY_CACHE_CAP,
+                                         _persist("ai_summary_cache.json"))
         self.load_seconds = time.time() - t0
 
     # ----------------------------------------------------------- endpoints --
@@ -108,16 +127,19 @@ class Engine:
         }
 
     def search(self, q: str, k: int = 10) -> dict:
-        self._counters["searches"] += 1
         kk = clamp_k(k)
         key = f"{q}|{kk}"  # raw query string, reference quirk kept
         t0 = time.time()
-        cached = self.search_cache.get(key)
+        with self._lock:
+            self._counters["searches"] += 1
+            cached = self.search_cache.get(key)
+            if cached is not None:
+                self._counters["search_cache_hits"] += 1
+                cached = dict(cached)
         if cached is not None:
             # reference cached shape (api_server.cpp:141-165): search time
             # zeroed, the lookup cost reported separately
-            self._counters["search_cache_hits"] += 1
-            out = dict(cached)
+            out = cached
             out["search_time_ms"] = 0.0
             out["cache_lookup_ms"] = round((time.time() - t0) * 1000, 2)
             out["cached"] = True
@@ -136,21 +158,100 @@ class Engine:
         search_ms = (time.time() - t1) * 1000
         out = self._hydrate(out)
         out["search_time_ms"] = round(search_ms, 2)
-        self.search_cache.put(key, out)
+        with self._lock:
+            self.search_cache.put(key, out)
         out = dict(out)
         out["cached"] = False
         out["total_time_ms"] = round((time.time() - t0) * 1000, 2)
         return out
 
     def suggest(self, q: str, k: int = 5) -> dict:
-        self._counters["suggests"] += 1
+        with self._lock:
+            self._counters["suggests"] += 1
         sugg = self._get_suggester().suggest(q, k)
         return {"query": q, "suggestions": sugg}
 
     def reload(self) -> dict:
-        self._counters["reloads"] += 1
-        self._load()
+        with self._lock:
+            self._counters["reloads"] += 1
+            self._load()
         return {"status": "reloaded", "load_seconds": round(self.load_seconds, 3)}
+
+    def ai_overview(self, q: str, k: int = 10) -> dict:
+        """AI-overview endpoint logic with LRU caching — reference flow
+        (src/api_server.cpp:230-303 + src/api_ai_overview.cpp:140-246):
+        cache key "query|k"; on miss, search results feed the external-LLM
+        hook; only successful responses are cached (persisted every update).
+        The reference's retry-for-cache loop polls engine.search up to
+        10×50 ms for a PARALLEL /api/search to fill the result cache — our
+        search is synchronous in-process, so one call both checks and fills.
+        A ``status`` key (popped by the HTTP layer) carries non-200 codes."""
+        kk = clamp_k(k)
+        key = f"{q}|{kk}"  # make_cache_key parity (api_engine.cpp:190-192)
+        with self._lock:
+            cached = self.ai_overview_cache.get(key)
+        if cached is not None:
+            out = dict(cached)
+            out["cached"] = True  # api_ai_overview.cpp:154-156
+            return out
+        hook = self.hooks.get("ai_overview")
+        if hook is None:
+            return {"error": "endpoint not configured "
+                             "(external AI service hook)", "status": 501}
+        sr = self.search(q, kk)
+        if not sr.get("results"):
+            return {"error": "No search results found for the query",
+                    "query": q, "status": 404}  # api_server.cpp:272-279
+        ai = hook({"q": q, "k": kk, "results": sr["results"]})
+        resp: dict = {"query": q}
+        if isinstance(ai, dict) and ai.get("success"):
+            resp["overview"] = ai.get("overview")
+            resp["model"] = ai.get("model")
+            if "usage" in ai:
+                resp["usage"] = ai["usage"]
+            resp["cached"] = False
+            with self._lock:
+                self.ai_overview_cache.put(key, resp)
+            return dict(resp)
+        resp["error"] = (ai or {}).get("error", "Unknown error") \
+            if isinstance(ai, dict) else "Unknown error"
+        if isinstance(ai, dict) and "details" in ai:
+            resp["details"] = ai["details"]
+        resp["status"] = 500
+        return resp
+
+    def ai_summary(self, cord_uid: str) -> dict:
+        """AI-summary endpoint logic with LRU caching — reference flow
+        (src/api_server.cpp:305-345 + src/api_ai_summary.cpp:96-226): cache
+        key "summary|<uid>"; only successful responses cached."""
+        key = f"summary|{cord_uid}"
+        with self._lock:
+            cached = self.ai_summary_cache.get(key)
+        if cached is not None:
+            out = dict(cached)
+            out["cached"] = True
+            return out
+        hook = self.hooks.get("ai_summary")
+        if hook is None:
+            return {"error": "endpoint not configured "
+                             "(external AI service hook)", "status": 501}
+        ai = hook({"cord_uid": cord_uid})
+        resp: dict = {"cord_uid": cord_uid}
+        if isinstance(ai, dict) and ai.get("success"):
+            resp["summary"] = ai.get("summary")
+            resp["model"] = ai.get("model")
+            if "usage" in ai:
+                resp["usage"] = ai["usage"]
+            resp["cached"] = False
+            with self._lock:
+                self.ai_summary_cache.put(key, resp)
+            return dict(resp)
+        resp["error"] = (ai or {}).get("error", "Unknown error") \
+            if isinstance(ai, dict) else "Unknown error"
+        if isinstance(ai, dict) and "details" in ai:
+            resp["details"] = ai["details"]
+        resp["status"] = 500
+        return resp
 
     def feedback(self, payload: dict) -> dict:
         """Validate + store one feedback entry (reference handle_feedback,
@@ -168,10 +269,12 @@ class Engine:
         }
 
     def stats(self) -> dict:
-        total = self._counters["searches"]
-        hits = self._counters["search_cache_hits"]
+        with self._lock:
+            counters = dict(self._counters)
+        total = counters["searches"]
+        hits = counters["search_cache_hits"]
         return {
-            **self._counters,
+            **counters,
             "cache_entries": len(self.search_cache.data),
             "cache_hits": self.search_cache.hits,
             "cache_misses": self.search_cache.misses,

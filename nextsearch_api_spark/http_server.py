@@ -93,13 +93,18 @@ def _make_handler(engine: Engine):
                     self._json(engine.suggest(p["q"], k))
                 elif route == "/api/stats":
                     self._json(engine.stats())
-                elif route in ("/api/ai_overview", "/api/ai_summary"):
-                    hook = engine.hooks.get(route.rsplit("/", 1)[-1])
-                    if hook is None:
-                        self._json({"error": "endpoint not configured "
-                                             "(external AI service hook)"}, 501)
-                    else:
-                        self._json(hook(p))
+                elif route == "/api/ai_overview":
+                    if "q" not in p:
+                        self._json({"error": "missing q param"}, 400)
+                        return
+                    out = engine.ai_overview(p["q"], int(p.get("k", 10)))
+                    self._json(out, out.pop("status", 200))
+                elif route == "/api/ai_summary":
+                    if "cord_uid" not in p:
+                        self._json({"error": "missing cord_uid param"}, 400)
+                        return
+                    out = engine.ai_summary(p["cord_uid"])
+                    self._json(out, out.pop("status", 200))
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:  # reference returns 500 + details

@@ -704,14 +704,19 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         )
         mapping = current_mapping(out_root)
         os.remove(cur_ptr)
-        for comp, default in DEFAULT_COMPONENTS.items():
-            phys = mapping.get(comp, default)
-            if phys != default:
-                stale = os.path.join(out_root, phys)
-                if os.path.isdir(stale):
-                    shutil.rmtree(stale, ignore_errors=True)
-                elif os.path.exists(stale):
-                    os.remove(stale)
+        stale_names = {
+            mapping.get(comp, default)
+            for comp, default in DEFAULT_COMPONENTS.items()
+            if mapping.get(comp, default) != default
+        } | set(mapping.get("gc_pending", []))  # deferred-GC leftovers too
+        for phys in stale_names:
+            if phys in DEFAULT_COMPONENTS.values():
+                continue
+            stale = os.path.join(out_root, phys)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+            elif os.path.exists(stale):
+                os.remove(stale)
     manifest = BuildManifest.load(paths.manifest) if resume else BuildManifest(
         paths.manifest, {"stages": {}, "created_at": time.time()}
     )
@@ -780,7 +785,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         N = int(row["N"])
         avgdl = float(row["total_len"]) / N if N else 0.0
         stats = {"N": N, "avgdl": avgdl, "total_len": int(row["total_len"] or 0),
-                 "k1": cfg.bm25.k1, "b": cfg.bm25.b, "built_at": time.time()}
+                 "k1": cfg.bm25.k1, "b": cfg.bm25.b,
+                 "format": FORMAT_VERSION, "built_at": time.time()}
         with open(paths.stats, "w") as f:
             json.dump(stats, f, indent=2)
         return {"rows": N}

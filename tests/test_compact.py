@@ -43,3 +43,74 @@ def test_compact_preserves_search(spark, tmp_path):
             x["doc_id"] for x in r1["results"]
         ], q
         assert r2["found"] == r1["found"]
+
+
+def test_generation_gc_deferred_one_flip(spark, tmp_path):
+    """flip_generation defers GC by one generation (ADVICE r2): a reader
+    opened before a compaction keeps serving from the superseded dirs until
+    the NEXT flip, instead of hitting FileNotFoundError mid-query."""
+    import os
+
+    from nextsearch_api_spark.plans.generations import current_mapping
+
+    p = str(tmp_path / "c")
+    write_corpus(generate_corpus(spark, 300, seed=42), p, partition_by=None)
+    corpus = read_corpus(spark, p)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, BuildConfig(segment_partitions=8))
+
+    old = WandEngine(root)  # long-lived reader (e.g. the HTTP server)
+    before = old.search("hotterm buffer", 10)
+
+    out1 = compact_postings(spark, root)
+    assert out1["swapped"]
+    m1 = current_mapping(root)
+    assert m1["gc_pending"]  # superseded dirs recorded, NOT deleted
+    for d in m1["gc_pending"]:
+        assert os.path.exists(os.path.join(root, d)), d
+    # the pre-flip reader still serves identical results from the old dirs
+    again = old.search("hotterm buffer", 10)
+    assert [x["doc_id"] for x in again["results"]] == [
+        x["doc_id"] for x in before["results"]]
+
+    # the NEXT flip (here a no-op component flip, as any later compaction
+    # would be) garbage-collects the dirs superseded one generation ago
+    from nextsearch_api_spark.plans.generations import flip_generation
+    m2 = flip_generation(root, {}, m1["gen"] + 1)
+    for d in m1["gc_pending"]:
+        assert not os.path.exists(os.path.join(root, d)), d
+    assert m2["gc_pending"] == []
+    assert m2["atomic_rename"] == "local"
+    # fresh reader on the new generation agrees
+    w = WandEngine(root)
+    now = w.search("hotterm buffer", 10)
+    assert [x["doc_id"] for x in now["results"]] == [
+        x["doc_id"] for x in before["results"]]
+    assert m2["gen"] == m1["gen"] + 1
+
+
+def test_index_format_version_checked(spark, tmp_path, tiny_index):
+    """Readers refuse an index whose stats.json carries a different on-disk
+    format version (VERDICT r2 #7) instead of relying on the overlap
+    fail-fast."""
+    import json
+    import os
+    import shutil
+
+    root, _ = tiny_index
+    clone = str(tmp_path / "stale_idx")
+    shutil.copytree(root, clone)
+    stats_path = IndexPaths(clone).stats
+    with open(stats_path) as f:
+        stats = json.load(f)
+    assert "format" in stats  # builds stamp the version
+    stats["format"] = stats["format"] - 1
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
+    import pytest as _pytest
+
+    from nextsearch_api_spark.operators.query import IndexReader
+    with _pytest.raises(ValueError, match="format"):
+        WandEngine(clone)
+    with _pytest.raises(ValueError, match="format"):
+        IndexReader(spark, clone)

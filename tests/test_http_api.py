@@ -148,8 +148,76 @@ def test_http_reload_add_document_ai(server):
 
     code, body = _err(_get, server, "/api/ai_overview?q=x")
     assert code == 501  # external-LLM hook not registered
+    code, body = _err(_get, server, "/api/ai_summary?cord_uid=u1")
+    assert code == 501
 
-    # hook registration serves the endpoint
-    server.engine.hooks["ai_overview"] = lambda p: {"overview": p.get("q", "")}
-    st, a = _get(server, "/api/ai_overview?q=cache")
-    assert st == 200 and a["overview"] == "cache"
+
+def test_ai_overview_cache_flow(server):
+    """AI-overview LRU cache parity (reference api_engine.hpp:46-50,
+    api_server.cpp:230-303): success cached + persisted, second call served
+    from cache, errors NOT cached, no-results → 404."""
+    eng = server.engine
+    calls = []
+
+    def hook(p):
+        calls.append(p["q"])
+        return {"success": True, "overview": f"ov:{p['q']}",
+                "model": "fake-model", "usage": {"tokens": 7}}
+
+    eng.hooks["ai_overview"] = hook
+    try:
+        st, a = _get(server, "/api/ai_overview?q=hotterm&k=3")
+        assert st == 200 and a["overview"] == "ov:hotterm"
+        assert a["cached"] is False and a["model"] == "fake-model"
+
+        st, b = _get(server, "/api/ai_overview?q=hotterm&k=3")
+        assert st == 200 and b["cached"] is True and b["overview"] == "ov:hotterm"
+        assert calls == ["hotterm"]  # hook hit exactly once
+
+        # different k → different cache key "query|k" (api_engine.cpp:190)
+        st, c = _get(server, "/api/ai_overview?q=hotterm&k=5")
+        assert c["cached"] is False and calls == ["hotterm", "hotterm"]
+
+        # a query with no results → 404, reference api_server.cpp:272-279
+        code, body = _err(_get, server, "/api/ai_overview?q=zzzznomatch")
+        assert code == 404 and "No search results" in body["error"]
+
+        # hook failure → 500, NOT cached (only success responses cached)
+        eng.hooks["ai_overview"] = lambda p: {"success": False,
+                                              "error": "upstream down"}
+        code, body = _err(_get, server, "/api/ai_overview?q=buffer")
+        assert code == 500 and body["error"] == "upstream down"
+        eng.hooks["ai_overview"] = hook
+        st, d = _get(server, "/api/ai_overview?q=buffer&k=10")
+        assert d["cached"] is False  # the failure was not cached
+
+        # cache persists: survives /api/reload (reloaded Engine re-reads the
+        # persisted JSON, reference persistence api_engine.cpp:545-640)
+        _post(server, "/api/reload")
+        n_calls = len(calls)
+        st, e = _get(server, "/api/ai_overview?q=hotterm&k=3")
+        assert e["cached"] is True and len(calls) == n_calls
+    finally:
+        eng.hooks.pop("ai_overview", None)
+
+
+def test_ai_summary_cache_flow(server):
+    eng = server.engine
+    calls = []
+
+    def hook(p):
+        calls.append(p["cord_uid"])
+        return {"success": True, "summary": f"sum:{p['cord_uid']}",
+                "model": "fake-model"}
+
+    eng.hooks["ai_summary"] = hook
+    try:
+        st, a = _get(server, "/api/ai_summary?cord_uid=u42")
+        assert st == 200 and a["summary"] == "sum:u42" and a["cached"] is False
+        st, b = _get(server, "/api/ai_summary?cord_uid=u42")
+        assert b["cached"] is True and calls == ["u42"]
+        _post(server, "/api/reload")
+        st, c = _get(server, "/api/ai_summary?cord_uid=u42")
+        assert c["cached"] is True and calls == ["u42"]
+    finally:
+        eng.hooks.pop("ai_summary", None)

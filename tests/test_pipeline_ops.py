@@ -91,6 +91,38 @@ def test_cosine_topk_and_ann(spark, tmp_path):
     assert approx and approx[0]["vec_id"] == 0  # hot hit survives bucketing
 
 
+def test_near_dup_degenerate_bucket_guard(spark):
+    """embedding_near_dup_pairs must not go |b|²-quadratic on a degenerate
+    bucket (VERDICT r2 #2): many near-zero vectors all sign-hash to the same
+    pattern; the max_bucket guard drops that bucket while real near-dup
+    pairs elsewhere survive. Zero-norm vectors must not raise under ANSI
+    mode (ADVICE r2)."""
+    from nextsearch_api_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [(0, [float(x) for x in base]),
+            (1, [float(x) for x in base + rng.standard_normal(8) * 1e-3]),
+            (2, [0.0] * 8)]  # exactly zero-norm → guard must yield NULL cosine
+    # 40 near-zero vectors with identical sign pattern → one degenerate bucket
+    signs = np.sign(rng.standard_normal(8)) * 1e-9
+    for i in range(3, 43):
+        rows.append((i, [float(x) for x in signs * (1 + 0.01 * i)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    guarded = embedding_near_dup_pairs(emb, n_planes=6, tau=0.99,
+                                       max_bucket=10).collect()
+    gp = {(r["vec_a"], r["vec_b"]) for r in guarded}
+    assert (0, 1) in gp                       # real near-dup survives
+    assert all(a < 3 and b < 3 for a, b in gp)  # degenerate bucket dropped
+
+    unguarded = embedding_near_dup_pairs(emb, n_planes=6, tau=0.99,
+                                         max_bucket=10_000).collect()
+    assert len(unguarded) > len(guarded)      # guard is what removed them
+    assert not any(2 in p for p in
+                   {(r["vec_a"], r["vec_b"]) for r in unguarded})  # zero-norm → no pair, no error
+
+
 def test_quality_and_language(docs):
     from nextsearch_api_spark.operators.textstats import (
         language_id, quality_score, token_counts,
