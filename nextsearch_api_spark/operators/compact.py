@@ -105,9 +105,17 @@ def compact_postings(spark: SparkSession, index_root: str,
         decode_postings_to_tokens(frag), stats["avgdl"], cfg
     )
     from nextsearch_api_spark.operators.build import write_postings_sorted
-    merged = keep.unionByName(rebuilt)
+    # persist before the range-partitioned write: repartitionByRange samples
+    # its input with an extra execution, which would re-run the whole
+    # decode + re-chunk subtree (same single-materialization fix as the
+    # build's serving-layout rewrite)
+    from pyspark import StorageLevel
+    merged = keep.unionByName(rebuilt).persist(StorageLevel.MEMORY_AND_DISK)
     post_new = gen_path(index_root, "postings", gen)
-    write_postings_sorted(merged, post_new)
+    try:
+        write_postings_sorted(merged, post_new)
+    finally:
+        merged.unpersist()
 
     lex_new = (
         spark.read.parquet(post_new).groupBy("term").agg(

@@ -71,7 +71,13 @@ class QuerySpec:
 
 
 class IndexReader:
-    """Lazy handles on a built index's tables + stats."""
+    """Lazy handles on a built index's tables + stats.
+
+    DataFrame handles are memoized: ``spark.read.parquet`` re-lists the
+    directory and re-reads footers on every call (~0.15 s against a 64-file
+    postings dir), which was pure per-query overhead in the r2 bench. A
+    reader is pinned to the generation it opened (like any snapshot reader);
+    create a new IndexReader after compaction/reload."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -80,6 +86,8 @@ class IndexReader:
             self.stats = json.load(f)
         from nextsearch_api_spark.operators.wand import check_index_format
         check_index_format(self.stats, self.paths.stats)
+        self._dfs: dict[str, DataFrame] = {}
+        self._lex_dataset = None  # pyarrow dataset for driver-side df lookups
 
     @property
     def N(self) -> int:
@@ -89,17 +97,54 @@ class IndexReader:
     def avgdl(self) -> float:
         return float(self.stats["avgdl"])
 
+    def _table(self, path: str) -> DataFrame:
+        df = self._dfs.get(path)
+        if df is None:
+            df = self._dfs[path] = self.spark.read.parquet(path)
+        return df
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        return self._table(self.paths.postings)
 
     def lexicon(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.lexicon)
+        return self._table(self.paths.lexicon)
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docs)
+        return self._table(self.paths.docs)
 
     def suggest_table(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.suggest)
+        return self._table(self.paths.suggest)
+
+    def term_dfs(self, terms: Sequence[str]) -> dict[str, int]:
+        """df lookup for a bounded set of query terms → {term: df}.
+
+        Driver-side pyarrow read of the term-sorted lexicon (row-group
+        pruned by the pushed ``isin`` filter) — the same bounded O(|terms|)
+        lookup the WAND tier does, without paying a Spark job's scheduling
+        latency per query (~0.3 s). Falls back to a Spark collect for
+        filesystems pyarrow can't open."""
+        terms = list(terms)
+        if not terms:
+            return {}
+        try:
+            import pyarrow.dataset as pads
+            if self._lex_dataset is None:
+                self._lex_dataset = pads.dataset(
+                    self.paths.lexicon, format="parquet")
+            t = self._lex_dataset.to_table(
+                columns=["term", "df"],
+                filter=pads.field("term").isin(terms),
+            )
+            return dict(zip(t.column("term").to_pylist(),
+                            (int(x) for x in t.column("df").to_pylist())))
+        except Exception:
+            rows = (
+                self.lexicon()
+                .where(F.col("term").isin(terms))
+                .select("term", "df")
+                .collect()
+            )
+            return {r["term"]: int(r["df"]) for r in rows}
 
 
 def _decode_score_udf(avgdl: float, params: BM25Params):
@@ -182,14 +227,8 @@ def batch_search(
 
     all_terms = sorted({t for _, t, _, _ in qrows})
 
-    # lexicon lookup for df → idf (small collect: |query terms| rows)
-    lex_rows = (
-        reader.lexicon()
-        .where(F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
-    df_map = {r["term"]: int(r["df"]) for r in lex_rows}
+    # lexicon lookup for df → idf (bounded driver-side read: |query terms|)
+    df_map = reader.term_dfs(all_terms)
     present = [t for t in all_terms if t in df_map]
     if not present:
         qmeta = [(q.qid,) for q in queries]
