@@ -334,8 +334,14 @@ The curve localizes where single-box scaling bends: points inside the
 machine's bandwidth-linear region scale near 1.0; the knee tracks the
 no-Spark multiprocessing sweep of the same Arrow string kernels (DRAM
 bandwidth saturation at ~8-16 string workers), not any serialization in the
-plan — the postings build has no exchange, doc-id assignment is one bucket
-shuffle of keys only, and every Python stage is Arrow-batched.
+plan — the postings build has no exchange; doc-id assignment is one bucket
+exchange carrying FULL corpus rows (content included): the one content
+shuffle of the whole build buys deterministic dense ranks AND whole-bucket
+file placement, which the no-shuffle postings builder's chunk-disjointness
+invariant requires. (A keys-only rank + hash-join-back variant measured
+~35% faster on this stage in isolation, but scatters buckets across files —
+restoring contiguity needs a SECOND full-content exchange, strictly worse
+at scale; see assign_doc_ids.) Every Python stage is Arrow-batched.
 
 ## Per-stage build seconds (best runs)
 
