@@ -75,6 +75,21 @@ def _corpus_size(sf: float) -> int:
     return max(2000, int(400_000 * sf))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the shared-VM honesty
+    counter. A steal spike during a timed run means the hypervisor took the
+    cores; recording the delta per run lets a reviewer decompose a bad
+    scaling point into machine-vs-plan (VERDICT r2 #4)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
                           workdir: str) -> dict:
     """Build index from a materialized corpus + run the query set.
@@ -102,9 +117,12 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
         build_index(spark, generate_corpus(spark, 2000, seed=1), warm_root,
                     resume=False)
 
+        s0, tt0 = _cpu_ticks()
         t0 = time.time()
         stage_metrics = build_index(spark, corpus, index_root, resume=False)
         t_build = time.time() - t0
+        s1, tt1 = _cpu_ticks()
+        steal_pct = round(100.0 * (s1 - s0) / max(1, tt1 - tt0), 2)
         stage_seconds = {k: v.get("seconds") for k, v in stage_metrics.items()
                          if isinstance(v, dict) and "seconds" in v}
 
@@ -137,12 +155,32 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
             wand.search(q, k)
             wand_times[name] = round((time.time() - t0) * 1000, 2)  # ms
 
+        # correctness gate at BENCH scale (VERDICT r2 #6): pruned WAND must
+        # return the identical ranked (doc_id, score) list as exhaustive
+        # TAAT on THIS index — the regime where an unsound upper bound would
+        # actually bite, unlike the tiny corpora in tests/. Runs on every
+        # bench invocation so every BENCH_r*.json is also a parity run.
+        parity = 0
+        for _, q, _ in BENCH_QUERIES:
+            for kk in (10, 100):
+                rw = wand.search(q, kk, mode="wand")["results"]
+                rt = wand.search(q, kk, mode="taat")["results"]
+                lw = [(r["doc_id"], round(r["score"], 4)) for r in rw]
+                lt = [(r["doc_id"], round(r["score"], 4)) for r in rt]
+                assert lw == lt, (
+                    f"WAND/TAAT divergence for {q!r} k={kk}: "
+                    f"{lw[:5]} vs {lt[:5]}"
+                )
+                parity += 1
+
         return {
             "build_seconds": round(t_build, 3),
+            "build_steal_pct": steal_pct,
             "files_per_sec": round(n_docs / t_build, 1),
             "queries": q_times,
             "wand_load_seconds": round(t_wand_load, 3),
             "wand_query_ms": wand_times,
+            "wand_taat_parity_checks": parity,
             "stage_seconds": stage_seconds,
         }
     finally:
@@ -221,10 +259,12 @@ def main() -> None:
                         | {lo, cpus})
         best_run: dict[int, dict] = {}
         curve: dict[int, list[float]] = {p: [] for p in points}
+        steal: dict[int, list[float]] = {p: [] for p in points}
         for _ in range(repeats):
             for p in points:
                 r = pinned_run(p)
                 curve[p].append(r["build_seconds"])
+                steal[p].append(r.get("build_steal_pct", 0.0))
                 if (p not in best_run
                         or r["build_seconds"] < best_run[p]["build_seconds"]):
                     best_run[p] = r
@@ -252,6 +292,10 @@ def main() -> None:
                 str(p): round((best[base_p] * base_p) / (best[p] * p), 3)
                 for p in sorted(best)
             },
+            # machine-honesty record: hypervisor steal % during each timed
+            # build (all repeats, per point) — decomposes a bad point into
+            # machine-vs-plan
+            "steal_pct_all_runs": {str(p): steal[p] for p in sorted(steal)},
         }
         print(json.dumps(out))
         _write_baseline_md(out, lo, cpus, n_docs)
@@ -271,6 +315,7 @@ def main() -> None:
         "files_per_sec": r["files_per_sec"],
         "wand_query_ms": r["wand_query_ms"],
         "wand_load_seconds": r["wand_load_seconds"],
+        "wand_taat_parity_checks": r["wand_taat_parity_checks"],
         "cpus": cpus,
     }))
 

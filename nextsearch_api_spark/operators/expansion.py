@@ -92,8 +92,11 @@ class SemanticExpander:
         if ok.size == 0:
             return []
         k = min(topk, ok.size)
-        part = ok[np.argpartition(-sims[ok], k - 1)[:k]]
-        order = part[np.lexsort((part, -sims[part]))]
+        # canonical boundary tie-break (sim desc, row asc) — same selection
+        # refinement as the BM25 tiers (see wand._topk_tiebroken: a bare
+        # argpartition picks arbitrary members of a tie at the k boundary)
+        from nextsearch_api_spark.operators.wand import _topk_tiebroken
+        order = ok[_topk_tiebroken(sims[ok].astype(np.float64), ok, k)]
         return [(int(r), float(sims[r])) for r in order]
 
     # -------------------------------------------------------------- expand --

@@ -55,6 +55,25 @@ def check_index_format(stats: dict, stats_path: str) -> None:
         )
 
 
+def _topk_tiebroken(scores: np.ndarray, doc_ids: np.ndarray,
+                    kk: int) -> np.ndarray:
+    """Indices of the canonical top-kk by (score desc, doc_id asc).
+
+    A bare ``argpartition(-scores, kk-1)[:kk]`` picks ARBITRARY members of a
+    score tie straddling the k boundary — sorting the selection afterwards
+    can't repair a wrong selection (caught by the bench-time WAND/TAAT parity
+    gate at k=100 on the 40k index: five docs tied at the boundary). Refine:
+    everything strictly above the boundary score is in; remaining slots go to
+    boundary-tied docs in ascending doc order (``doc_ids`` is ascending, so
+    tie indices are already doc-ordered)."""
+    part = np.argpartition(-scores, kk - 1)[:kk]
+    thr = scores[part].min()
+    above = np.nonzero(scores > thr)[0]
+    ties = np.nonzero(scores == thr)[0]
+    sel = np.concatenate((above, ties[: kk - above.size]))
+    return sel[np.lexsort((doc_ids[sel], -scores[sel]))]
+
+
 @dataclass
 class _TermCursor:
     """Iterator over one term's chunks (doc-ordered, NumPy metadata)."""
@@ -201,6 +220,8 @@ class WandEngine:
         self._blob_cache_bytes = 0
         self.blob_cache_limit = 256 << 20  # bytes of blob payload
         self._cache_lock = threading.Lock()
+        # memoized multi-term exact-found union sizes (found_count)
+        self._found_cache: "OrderedDict[tuple, int]" = OrderedDict()
 
         # optional semantic expansion (reference: loaded embeddings ⇒ every
         # search expands, api_engine.cpp:411-417; absent ⇒ weight-1.0 path)
@@ -368,11 +389,7 @@ class WandEngine:
                 return self._finalize(query, k, {})
             kk = min(k, found)
             ms = scores[matched]
-            part = np.argpartition(-ms, kk - 1)[:kk]
-            # canonical tie-break (score desc, doc_id asc); matched is
-            # ascending so stable lexsort on (-score, doc) is exact
-            order = np.lexsort((matched[part], -ms[part]))
-            top = part[order]
+            top = _topk_tiebroken(ms, matched, kk)
             return {
                 "query": query, "k": k, "segments": 1, "found": found,
                 "mode": "taat",
@@ -399,9 +416,7 @@ class WandEngine:
         np.add.at(acc, inv, np.concatenate(c_parts))
         found = int(len(uniq))
         kk = min(k, found)
-        part = np.argpartition(-acc, kk - 1)[:kk]
-        order = np.lexsort((uniq[part], -acc[part]))
-        top = part[order]
+        top = _topk_tiebroken(acc, uniq, kk)
         return {
             "query": query, "k": k, "segments": 1, "found": found,
             "mode": "taat",
@@ -578,10 +593,27 @@ class WandEngine:
 
     def found_count(self, query: str) -> int:
         """Exact distinct matched docs (reference 'found',
-        api_engine.cpp:495) without scoring — union of posting doc ids."""
-        terms = [t for t in set(parse_query(query)) if t in self._df]
+        api_engine.cpp:495) without scoring — union of posting doc ids.
+
+        The full decode was negating WAND's pruning on every uncached search
+        (ADVICE r2): now (a) a single present term answers from the lexicon —
+        df IS its distinct-doc count, postings being unique per (term, doc) —
+        and (b) multi-term union sizes are memoized per present-term set
+        (ints, bounded LRU), so a hot term combination decodes once per
+        process lifetime, not once per query."""
+        present = sorted({t for t in parse_query(query) if t in self._df})
+        if not present:
+            return 0
+        if len(present) == 1:
+            return int(self._df[present[0]])
+        key = tuple(present)
+        with self._cache_lock:
+            hit = self._found_cache.get(key)
+            if hit is not None:
+                self._found_cache.move_to_end(key)
+                return hit
         parts = []
-        for chunks in self._load_term_chunks(terms).values():
+        for chunks in self._load_term_chunks(present).values():
             ids, _, _ = decode_chunks_concat(
                 chunks["blob"].tolist(),
                 chunks["tf_off"].to_numpy(dtype=np.int64),
@@ -589,6 +621,9 @@ class WandEngine:
                 chunks["count"].to_numpy(dtype=np.int64),
             )
             parts.append(ids)
-        if not parts:
-            return 0
-        return int(np.unique(np.concatenate(parts)).size)
+        n = int(np.unique(np.concatenate(parts)).size) if parts else 0
+        with self._cache_lock:
+            self._found_cache[key] = n
+            while len(self._found_cache) > 50_000:
+                self._found_cache.popitem(last=False)
+        return n
