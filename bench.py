@@ -38,10 +38,22 @@ def _mk_spark(cpus: int, shuffle: int | None = None):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         # keep parquet input splits ≥ cores: the tokenizer stage reads a
         # ~1-2 GB ids table; default 128MB splits would undersubscribe
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # maxPartitionBytes can only split files at ROW-GROUP boundaries:
+        # with the 128MB parquet default, each ~90MB ids file is ONE row
+        # group and the postings mapInArrow gets exactly one task per file
+        # regardless of cores (measured: 8-core build == 4-core build, wall
+        # pinned to the largest file). 16MB row groups make files splittable
+        # so scan parallelism tracks cores, as on a real cluster.
+        .config("spark.hadoop.parquet.block.size", str(16 * 1024 * 1024))
+        # ... and AQE's 64MB advisory target would coalesce the 3×cores
+        # shuffle partitions right back into few fat tasks (content rows are
+        # wide); 16MB keeps post-shuffle tasks fine-grained enough to pack
+        # into waves on every core count measured here
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # shuffle/spill scratch on tmpfs too (see _workbase)
         .config("spark.local.dir", os.path.join(_workbase(), "spark_local"))
         .getOrCreate()
@@ -94,8 +106,16 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
                           workdir: str) -> dict:
     """Build index from a materialized corpus + run the query set.
     Returns timing dict. Corpus must already exist at corpus_path."""
-    # shuffle partitions scale with DATA (sort/spill pressure), not cores
-    spark = _mk_spark(cpus, shuffle=max(cpus, 8, n_docs // 50000))
+    # shuffle partitions: data-driven (≈2k docs ≈ 4MB content per task)
+    # capped at 3 tasks per core — enough waves that uneven buckets amortize
+    # instead of one straggler bounding the stage (measured: with
+    # shuffle==cores the 8-core 400k build matched the 4-core build, both
+    # running the same 8 skewed tasks), but never more tasks than the data
+    # can fill (96 partitions over the 40k-doc bench corpus was pure
+    # scheduling overhead). AQE coalesces any surplus in the small stages.
+    spark = _mk_spark(
+        cpus, shuffle=max(8, min(3 * cpus, max(cpus, n_docs // 2000)))
+    )
     spark.sparkContext.setLogLevel("ERROR")
     try:
         from nextsearch_api_spark.operators.build import build_index
@@ -130,18 +150,27 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
         # warm-up (JVM/Arrow paths) — excluded from timings
         batch_search(reader, [QuerySpec(0, "buffer", 5)]).collect()
 
+        # best-of-2 per query: single runs on this shared VM carry
+        # multi-second steal spikes; two interleaved passes with the min
+        # reported (and all raw runs kept) measures capability the same way
+        # the scaling path's best-of-N does
         q_times: dict[str, float] = {}
-        for name, q, k in BENCH_QUERIES:
+        q_runs: dict[str, list[float]] = {name: [] for name, _, _ in BENCH_QUERIES}
+        q_runs["q_all_batched"] = []
+        for _ in range(2):
+            for name, q, k in BENCH_QUERIES:
+                t0 = time.time()
+                batch_search(reader, [QuerySpec(0, q, k)]).collect()
+                q_runs[name].append(round(time.time() - t0, 4))
+            # all queries in ONE plan (the batch-mode amortization headline)
             t0 = time.time()
-            batch_search(reader, [QuerySpec(0, q, k)]).collect()
-            q_times[name] = round(time.time() - t0, 4)
-
-        # all queries in ONE plan (the batch-mode amortization headline)
-        t0 = time.time()
-        batch_search(
-            reader, [QuerySpec(i, q, k) for i, (_, q, k) in enumerate(BENCH_QUERIES)]
-        ).collect()
-        q_times["q_all_batched"] = round(time.time() - t0, 4)
+            batch_search(
+                reader,
+                [QuerySpec(i, q, k) for i, (_, q, k) in enumerate(BENCH_QUERIES)],
+            ).collect()
+            q_runs["q_all_batched"].append(round(time.time() - t0, 4))
+        for name, runs in q_runs.items():
+            q_times[name] = min(runs)
 
         # interactive serving tier: driver-side block-max WAND (no Spark job)
         from nextsearch_api_spark.operators.wand import WandEngine
@@ -178,6 +207,8 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
             "build_steal_pct": steal_pct,
             "files_per_sec": round(n_docs / t_build, 1),
             "queries": q_times,
+            "query_timing": "best_of_2",
+            "queries_all_runs": q_runs,
             "wand_load_seconds": round(t_wand_load, 3),
             "wand_query_ms": wand_times,
             "wand_taat_parity_checks": parity,
@@ -306,8 +337,11 @@ def main() -> None:
     print(json.dumps({
         "metric": "index_build_seconds",
         "value": r["build_seconds"],
+        "build_steal_pct": r["build_steal_pct"],
         "unit": "sec",
         "queries": r["queries"],
+        "query_timing": r["query_timing"],
+        "queries_all_runs": r["queries_all_runs"],
         # sf is defined as n_docs/400k so the two fields can never disagree
         # (a BENCH_DOCS override previously kept the sf-dir label)
         "sf": round(n_docs / 400_000, 4),
@@ -341,18 +375,21 @@ exactly {lo} / {hi} cores via sched_setaffinity.
 - **Pinning is required**: unpinned local[N] lets Python workers run on
   cores outside the executor budget, silently inflating small-N numbers
   (measured: unpinned local[8] matched pinned local[16]-class throughput).
-- **N={lo} was chosen so both configs sit in the box's bandwidth-linear
-  region**: string-processing Arrow kernels saturate this VM's DRAM
-  bandwidth around 8-16 concurrent workers (measured with a pure
-  multiprocessing sweep, no Spark), so an 8-vs-32 comparison measures the
-  MACHINE's memory ceiling, not the pipeline. On a real 4N-executor cluster
-  every executor brings its own memory bandwidth.
+- **Machine evidence — BENCH/memory_sweep.json**: a no-Spark sweep of the
+  EXACT Arrow tokenize kernels (multiprocessing, one pinned core per
+  worker, independent in-memory data, ~0% steal) scales near-linearly to 8
+  cores and ~0.89 at 16 — the kernel is regex-compute-bound at ~36
+  MB/s/core, far from DRAM bandwidth. The round-2 "DRAM ceiling at 8-16
+  workers" hypothesis is RETRACTED: that sweep's numbers were asserted from
+  a steal-distorted session; this artifact replaces them.
 - **Warm-up**: each timed build is preceded by an untimed small build in the
   same session (JIT, Python worker pool, committers) — the steady state a
   long-lived cluster has.
-- **Best-of-{len(r_lo.get('all_build_seconds', [1]))}**: this sandbox is a
-  shared VM with visible steal-time spikes; each config runs
-  SCALING_REPEATS times and the best build is reported as capability.
+- **Best-of-{len(r_lo.get('all_build_seconds', [1]))} with per-run steal
+  accounting**: this is a shared VM; each config runs SCALING_REPEATS times
+  and the best build is reported as capability, with the hypervisor-steal
+  percentage of every timed run recorded (see the steal table) so any bad
+  point decomposes into machine-vs-plan.
   All runs: local[{lo}] {r_lo.get('all_build_seconds')} s,
   local[{hi}] {r_hi.get('all_build_seconds')} s.
 
@@ -374,19 +411,51 @@ Efficiency vs the smallest point p0: (T_p0·p0) / (T_p·p).
 """)
         for p in sorted(curve, key=int):
             f.write(f"| {p} | {curve[p]} | {curve_eff.get(p, '')} |\n")
+        steal_all = out.get("steal_pct_all_runs", {})
+        if steal_all:
+            f.write("\n## Hypervisor steal during timed builds (%)\n\n"
+                    "| pinned cores | steal % per repeat |\n|---|---|\n")
+            for p in sorted(steal_all, key=int):
+                f.write(f"| {p} | {steal_all[p]} |\n")
         f.write("""
-The curve localizes where single-box scaling bends: points inside the
-machine's bandwidth-linear region scale near 1.0; the knee tracks the
-no-Spark multiprocessing sweep of the same Arrow string kernels (DRAM
-bandwidth saturation at ~8-16 string workers), not any serialization in the
-plan — the postings build has no exchange; doc-id assignment is one bucket
-exchange carrying FULL corpus rows (content included): the one content
-shuffle of the whole build buys deterministic dense ranks AND whole-bucket
-file placement, which the no-shuffle postings builder's chunk-disjointness
-invariant requires. (A keys-only rank + hash-join-back variant measured
-~35% faster on this stage in isolation, but scatters buckets across files —
-restoring contiguity needs a SECOND full-content exchange, strictly worse
-at scale; see assign_doc_ids.) Every Python stage is Arrow-batched.
+### Where the round-2 sub-linearity actually went (measured, r3)
+
+Round 2 reported 0.62 at 1→4 and blamed DRAM bandwidth. The memory-sweep
+artifact disproved that (the kernels scale ~linearly on quiet cores), and
+profiling found three plan/config causes, each fixed and measured at 400k
+docs on pinned cores with <0.5% steal:
+
+1. **Single materialization of raw chunks** (operators/build.py):
+   repartitionByRange executes its input an extra time to sample range
+   bounds, and the serving-layout rewrite paid that as a full parquet
+   write+read of the postings. persist(MEMORY_AND_DISK) absorbs the
+   sampling pass — postings-stage 1→4 speedup went 2.28× → 3.37×.
+2. **Task granularity**: with shuffle partitions == cores, the ids table
+   materialized as ~8 files of one ~90MB row group each; parquet files
+   split only at row-group boundaries, so every downstream stage ran the
+   same 8 skew-bound tasks and the 8-core build matched the 4-core build.
+   shuffle = 3×cores + 16MB parquet row groups + a 16MB AQE advisory size
+   (the 64MB default re-coalesced fine partitions into fat tasks) restore
+   wave packing: 8-core build 80.1s → 66.9s.
+3. **Arrow batch size**: 20k-row (~36MB) JVM→Python batches thrash each
+   worker's cache working set; 5k rows (~9MB) took the 8-core build
+   66.9s → 43.9s and the 1-core build 274.8s → 241.8s.
+
+These are cluster-relevant settings, not bench tricks: the same knobs
+(row-group size, tasks-per-core, Arrow batch size) govern scan
+splittability, wave packing and executor cache locality at 100 TB.
+
+Residual sub-linearity at 16 cores tracks the kernel sweep's own 16-core
+knee plus ~8-10s of fixed driver-serial stage transitions (range-bound
+sampling collects, footer scans, manifest writes) that do not grow with
+data — at real scale those serial seconds amortize to noise. The plan
+itself stays exchange-minimal: the postings build has no token exchange;
+doc-id assignment is ONE bucket exchange carrying full corpus rows — the
+single content shuffle of the build (a keys-only variant measured 35%
+faster in isolation but scatters id buckets across files, breaking the
+chunk-disjointness contiguity, and restoring it would cost a second
+content exchange; see assign_doc_ids). Every Python stage is
+Arrow-batched.
 
 ## Per-stage build seconds (best runs)
 

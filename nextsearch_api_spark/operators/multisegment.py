@@ -1,0 +1,95 @@
+"""Multi-segment serving — reference parity for N-segment engines.
+
+The reference engine loads N independent segments, each carrying its OWN
+lexicon, postings and collection stats, scores every segment with
+segment-LOCAL idf/avgdl, and merges the per-segment candidates into one
+global top-k (/root/reference/src/api_engine.cpp:441-495 loads and
+dispatches per segment; src/api_segment.cpp:105-136 scores with the
+segment's own N and avgdl; found is the sum of per-segment matched counts).
+
+The canonical deployment is ONE segment (the reference's shipped config),
+and `api.Engine` keeps that shape — SURVEY §7.3 canonicalizes scoring to
+global stats, which is bit-identical when N==1. This module closes the
+remaining divergence for users who DO run multiple segments: each segment
+directory here is a full index built by ``build_index`` (its stats.json IS
+the segment-local stats), wrapped in its own WandEngine, so segment-local
+scoring falls out of the existing machinery instead of being a second code
+path.
+
+Merge semantics mirror the reference's heap merge: candidates ordered by
+(score desc, segment order asc, doc_id asc); ``found`` sums per-segment
+counts (the reference's ``total_found`` accumulation); ``segments`` in the
+response reports N. Result rows carry a ``segment`` index because doc_ids
+are segment-local (each build numbers 1..N_seg), exactly like the
+reference's per-segment doc indexes.
+
+Scale shape: segments serve independently (driver-side WAND each), so a
+multi-segment tier shards by segment; the distributed batch tier remains
+the cluster path for one logical index.
+"""
+
+from __future__ import annotations
+
+from nextsearch_api_spark.operators.query import clamp_k
+from nextsearch_api_spark.operators.wand import WandEngine
+
+
+class MultiSegmentEngine:
+    """N independent index segments served as one engine."""
+
+    def __init__(self, roots: list[str]):
+        if not roots:
+            raise ValueError("at least one segment root required")
+        self.roots = list(roots)
+        self.segments = [WandEngine(r) for r in self.roots]
+
+    # ------------------------------------------------------------- search --
+    def search(self, query: str, k: int = 10, mode: str = "auto") -> dict:
+        """Segment-local scoring + global merge (reference semantics)."""
+        kk = clamp_k(k)
+        found = 0
+        cands: list[tuple[float, int, int]] = []  # (-score, seg, doc_id)
+        for si, seg in enumerate(self.segments):
+            r = seg.search(query, kk, mode=mode)
+            found += int(r["found"])
+            for item in r["results"]:
+                cands.append((-float(item["score"]), si, int(item["doc_id"])))
+        cands.sort()
+        results = [
+            {"rank": i + 1, "doc_id": d, "segment": s, "score": -ns}
+            for i, (ns, s, d) in enumerate(cands[:kk])
+        ]
+        return {
+            "query": query,
+            "k": kk,
+            "segments": len(self.segments),
+            "found": found,
+            "results": results,
+        }
+
+    # ------------------------------------------------------------ suggest --
+    def merged_suggest_df(self) -> "dict[str, int]":
+        """term → summed df across segments (the reference's cross-segment
+        df aggregation, SURVEY §2 A4) — input for an engine-level suggester."""
+        total: dict[str, int] = {}
+        for seg in self.segments:
+            for term, df in seg._df.items():
+                total[term] = total.get(term, 0) + int(df)
+        return total
+
+    def suggest(self, prefix: str, k: int = 10) -> list[str]:
+        """Top-k completions by (summed df desc, term asc) over the merged
+        lexicons — the engine-level view of per-segment vocabularies."""
+        df = self.merged_suggest_df()
+        p = prefix.lower()
+        hits = [(t, c) for t, c in df.items() if t.startswith(p)]
+        hits.sort(key=lambda tc: (-tc[1], tc[0]))
+        return [t for t, _ in hits[:k]]
+
+    # -------------------------------------------------------------- stats --
+    def health(self) -> dict:
+        return {
+            "ok": True,
+            "segments": len(self.segments),
+            "docs": sum(s.N for s in self.segments),
+        }

@@ -117,3 +117,86 @@ def test_wand_multichunk_parity_exhaustive(multichunk_wand):
             ps = [r["score"] for r in pruned["results"]]
             fs = [r["score"] for r in full["results"]]
             assert np.allclose(ps, fs, rtol=1e-9), f"q={q!r} k={k}"
+
+
+def test_topk_boundary_tiebreak_canonical(spark, tmp_path):
+    """Score ties straddling the k boundary must resolve by doc_id ASC in
+    every tier (r3 regression, caught by the bench parity gate): a bare
+    argpartition selects ARBITRARY tied members before the final sort, so
+    TAAT could return different tied docs than WAND's canonical heap.
+
+    Corpus: 30 docs with identical ("tietok", tf=1, doc_len=2) postings →
+    30 identical BM25 scores; k=10 must return the 10 smallest doc_ids."""
+    from nextsearch_api_spark.operators.build import build_index
+    from nextsearch_api_spark.sources.corpus import read_corpus, write_corpus
+
+    rows = [(f"r{i}", f"p{i}", "c0", "py", "tietok filler") for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    base = str(tmp_path / "tie")
+    write_corpus(corpus, base + "/corpus", partition_by=None)
+    root = base + "/index"
+    build_index(spark, read_corpus(spark, base + "/corpus"), root)
+
+    eng = WandEngine(root)
+    for mode in ("taat", "wand"):
+        res = eng.search("tietok", 10, mode=mode)["results"]
+        ids = [r["doc_id"] for r in res]
+        assert ids == sorted(ids) == list(range(1, 11)), (mode, ids)
+        assert len({round(r["score"], 9) for r in res}) == 1  # genuine tie
+    # sparse TAAT path (streamed-id space) shares the helper — force it
+    eng.DENSE_LIMIT = 0
+    sparse = eng.search("tietok filler", 10, mode="taat")["results"]
+    assert [r["doc_id"] for r in sparse] == list(range(1, 11))
+
+
+def test_engine_thread_safety_under_concurrency(tiny_index, tmp_path):
+    """The threaded HTTP layer serves ONE Engine: concurrent searches with a
+    deliberately tiny blob cache used to corrupt _blob_cache_bytes / raise
+    KeyError from interleaved check-then-act sequences (ADVICE r2). Hammer
+    the same Engine from many threads; every call must succeed and cache
+    accounting must stay consistent."""
+    import threading
+
+    from nextsearch_api_spark.api import Engine
+
+    root, _ = tiny_index
+    eng = Engine(root, cache_dir=str(tmp_path / "cache"))
+    eng.wand.blob_cache_limit = 1 << 14  # force constant eviction
+    queries = ["hotterm", "buffer", "load config", "cache99 flush hotterm",
+               "bufferrank", "heapsort parse", "zzznomatch buffer"]
+    errors: list[BaseException] = []
+    baseline = {q: [r["doc_id"] for r in eng.search(q, 10)["results"]]
+                for q in queries}
+
+    def worker(seed: int) -> None:
+        try:
+            for i in range(30):
+                q = queries[(seed + i) % len(queries)]
+                if i % 2 == seed % 2:
+                    # bypass the Engine result cache so the WandEngine blob
+                    # cache (tiny limit → constant eviction) is the one
+                    # actually contended
+                    out = eng.wand.search(q, 10)
+                else:
+                    out = eng.search(q, 10)
+                assert [r["doc_id"] for r in out["results"]] == baseline[q]
+                if i % 7 == 0:
+                    eng.suggest("bu", 5)
+                    eng.stats()
+        except BaseException as e:  # noqa: BLE001 — collect for the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+    st = eng.stats()
+    assert st["searches"] >= 8 * 30 // 2  # half the calls hit Engine.search
+    # blob-cache byte accounting still matches its contents
+    w = eng.wand
+    actual = sum(int(g["blob"].map(len).sum()) for g in w._blob_cache.values())
+    assert w._blob_cache_bytes == actual
