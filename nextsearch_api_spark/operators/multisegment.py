@@ -44,7 +44,8 @@ class MultiSegmentEngine:
         self.segments = [WandEngine(r) for r in self.roots]
 
     # ------------------------------------------------------------- search --
-    def search(self, query: str, k: int = 10, mode: str = "auto") -> dict:
+    def search(self, query: str, k: int = 10, mode: str = "auto",
+               hydrate: bool = False) -> dict:
         """Segment-local scoring + global merge (reference semantics)."""
         kk = clamp_k(k)
         found = 0
@@ -59,13 +60,39 @@ class MultiSegmentEngine:
             {"rank": i + 1, "doc_id": d, "segment": s, "score": -ns}
             for i, (ns, s, d) in enumerate(cands[:kk])
         ]
-        return {
+        out = {
             "query": query,
             "k": kk,
             "segments": len(self.segments),
             "found": found,
             "results": results,
         }
+        return self._hydrate(out) if hydrate else out
+
+    def _hydrate(self, out: dict) -> dict:
+        """Per-segment doc-metadata join (reference hydration reads each
+        hit's metadata from ITS segment's doc store, api_engine.cpp:508-532;
+        left-join semantics — missing meta tolerated). Bounded driver-side
+        pyarrow isin fetch per segment, same as the single-segment Engine."""
+        if not out["results"]:
+            return out
+        import pyarrow.dataset as pads
+
+        by_seg: dict[int, list[int]] = {}
+        for r in out["results"]:
+            by_seg.setdefault(r["segment"], []).append(r["doc_id"])
+        for si, ids in by_seg.items():
+            meta = pads.dataset(self.segments[si].paths.docs).to_table(
+                columns=["doc_id", "uid", "repo", "path", "commit", "lang"],
+                filter=pads.field("doc_id").isin(ids),
+            ).to_pandas().set_index("doc_id")
+            for r in out["results"]:
+                if r["segment"] == si and r["doc_id"] in meta.index:
+                    row = meta.loc[r["doc_id"]]
+                    r.update(uid=row["uid"], repo=row["repo"],
+                             path=row["path"], commit=row["commit"],
+                             lang=row["lang"])
+        return out
 
     # ------------------------------------------------------------ suggest --
     def merged_suggest_df(self) -> "dict[str, int]":

@@ -83,6 +83,26 @@ def test_multisegment_suggest_sums_df(two_segments):
     assert all(t.startswith("bu") for t in sugg)
 
 
+def test_multisegment_hydration_per_segment(two_segments):
+    """Hydration must read each hit's metadata from ITS OWN segment's doc
+    store — doc_ids are segment-local and collide across segments."""
+    eng = MultiSegmentEngine(two_segments)
+    out = eng.search("hotterm buffer", 10, hydrate=True)
+    assert out["results"]
+    segs_seen = {r["segment"] for r in out["results"]}
+    for item in out["results"]:
+        assert {"uid", "repo", "path", "commit", "lang"} <= set(item)
+        # uid is derived from (repo,path,commit) at build time — recompute
+        # from the hydrated fields to prove the metadata row belongs to THIS
+        # doc in THIS segment
+        import hashlib
+        expect = hashlib.sha256(
+            (item["repo"] + item["path"] + item["commit"]).encode()
+        ).hexdigest()[:16]
+        assert item["uid"] == expect
+    assert len(segs_seen) >= 1
+
+
 def test_multisegment_single_equals_wand(two_segments):
     """N==1 degenerates to the plain engine (the canonical config)."""
     root = two_segments[0]
