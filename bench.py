@@ -446,9 +446,12 @@ These are cluster-relevant settings, not bench tricks: the same knobs
 splittability, wave packing and executor cache locality at 100 TB.
 
 Residual sub-linearity at 16 cores tracks the kernel sweep's own 16-core
-knee plus ~8-10s of fixed driver-serial stage transitions (range-bound
-sampling collects, footer scans, manifest writes) that do not grow with
-data — at real scale those serial seconds amortize to noise. The plan
+knee (0.85) plus per-stage fixed work that does not grow with data —
+range-bound sampling collects, footer row-counts, job/Python-worker setup
+(per-stage wall sums match the build wall to within a second, so there is
+no hidden inter-stage serial gap; the two heavy stages each reach ~7× at
+16 cores vs the kernels' 13.5×). At real scale those fixed seconds
+amortize to noise. The plan
 itself stays exchange-minimal: the postings build has no token exchange;
 doc-id assignment is ONE bucket exchange carrying full corpus rows — the
 single content shuffle of the build (a keys-only variant measured 35%
