@@ -200,3 +200,29 @@ def test_engine_thread_safety_under_concurrency(tiny_index, tmp_path):
     w = eng.wand
     actual = sum(int(g["blob"].map(len).sum()) for g in w._blob_cache.values())
     assert w._blob_cache_bytes == actual
+
+
+def test_topk_tiebroken_property():
+    """_topk_tiebroken must equal the full lexsort selection for any score
+    vector with heavy ties — the selection refinement can't diverge from the
+    ground truth it approximates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nextsearch_api_spark.operators.wand import _topk_tiebroken
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40),
+        st.integers(min_value=1, max_value=40),
+    )
+    def check(quant_scores, k):
+        scores = np.array(quant_scores, dtype=np.float64) / 3.0
+        ids = np.arange(10, 10 + len(scores), dtype=np.int64)  # ascending
+        kk = min(k, len(scores))
+        got = _topk_tiebroken(scores, ids, kk)
+        full = np.lexsort((ids, -scores))[:kk]
+        assert list(ids[got]) == list(ids[full])
+        assert list(scores[got]) == list(scores[full])
+
+    check()
