@@ -137,14 +137,30 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
         build_index(spark, generate_corpus(spark, 2000, seed=1), warm_root,
                     resume=False)
 
-        s0, tt0 = _cpu_ticks()
-        t0 = time.time()
-        stage_metrics = build_index(spark, corpus, index_root, resume=False)
-        t_build = time.time() - t0
-        s1, tt1 = _cpu_ticks()
-        steal_pct = round(100.0 * (s1 - s0) / max(1, tt1 - tt0), 2)
-        stage_seconds = {k: v.get("seconds") for k, v in stage_metrics.items()
-                         if isinstance(v, dict) and "seconds" in v}
+        # best-of-2 build, same capability methodology as the queries and
+        # the scaling path (single runs on this shared VM vary up to ~40%
+        # with near-zero steal; both raw runs + per-run steal are reported)
+        build_runs: list[float] = []
+        build_steals: list[float] = []
+        t_build = None
+        stage_seconds: dict[str, float] = {}
+        for _ in range(2):
+            shutil.rmtree(index_root, ignore_errors=True)
+            s0, tt0 = _cpu_ticks()
+            t0 = time.time()
+            stage_metrics = build_index(spark, corpus, index_root, resume=False)
+            dt = time.time() - t0
+            s1, tt1 = _cpu_ticks()
+            build_runs.append(round(dt, 3))
+            build_steals.append(
+                round(100.0 * (s1 - s0) / max(1, tt1 - tt0), 2))
+            if t_build is None or dt < t_build:
+                t_build = dt
+                stage_seconds = {
+                    k: v.get("seconds") for k, v in stage_metrics.items()
+                    if isinstance(v, dict) and "seconds" in v
+                }
+        steal_pct = build_steals[build_runs.index(min(build_runs))]
 
         reader = IndexReader(spark, index_root)
         # warm-up (JVM/Arrow paths) — excluded from timings
@@ -204,7 +220,9 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
 
         return {
             "build_seconds": round(t_build, 3),
+            "build_all_runs": build_runs,
             "build_steal_pct": steal_pct,
+            "build_steal_all_runs": build_steals,
             "files_per_sec": round(n_docs / t_build, 1),
             "queries": q_times,
             "query_timing": "best_of_2",
@@ -337,6 +355,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "index_build_seconds",
         "value": r["build_seconds"],
+        "build_all_runs": r["build_all_runs"],
         "build_steal_pct": r["build_steal_pct"],
         "unit": "sec",
         "queries": r["queries"],
