@@ -289,26 +289,34 @@ class Engine:
     # ------------------------------------------------------------ internal --
 
     def _get_suggester(self):
+        # double-checked under the engine lock: two HTTP threads racing the
+        # first /api/suggest would otherwise both build the table (benign
+        # but a duplicated multi-second scan on a big suggest table)
         if self._suggester is None:
-            import pyarrow.dataset as ds
-
-            from nextsearch_api_spark.config import IndexPaths
-            tbl = ds.dataset(
-                IndexPaths(self.index_root).suggest
-            ).to_table(columns=["prefix", "term", "rnk"]).to_pandas()
-            table: dict[str, list[tuple[int, str]]] = {}
-            for p, t, r in zip(tbl["prefix"], tbl["term"], tbl["rnk"]):
-                table.setdefault(p, []).append((int(r), t))
-            from nextsearch_api_spark.config import SUGGEST_MAX_PREFIX_LEN
-            from nextsearch_api_spark.operators.autocomplete import Suggester
-            s = Suggester.__new__(Suggester)
-            s.table = {p: [t for _, t in sorted(v)] for p, v in table.items()}
-            # lexicon df map already in RAM (WandEngine) → exact long-prefix
-            # completion beyond the table's explosion bound
-            s.df_lookup = self.wand._df
-            s.max_prefix_len = SUGGEST_MAX_PREFIX_LEN
-            self._suggester = s
+            with self._lock:
+                if self._suggester is None:
+                    self._suggester = self._build_suggester()
         return self._suggester
+
+    def _build_suggester(self):
+        import pyarrow.dataset as ds
+
+        from nextsearch_api_spark.config import IndexPaths
+        tbl = ds.dataset(
+            IndexPaths(self.index_root).suggest
+        ).to_table(columns=["prefix", "term", "rnk"]).to_pandas()
+        table: dict[str, list[tuple[int, str]]] = {}
+        for p, t, r in zip(tbl["prefix"], tbl["term"], tbl["rnk"]):
+            table.setdefault(p, []).append((int(r), t))
+        from nextsearch_api_spark.config import SUGGEST_MAX_PREFIX_LEN
+        from nextsearch_api_spark.operators.autocomplete import Suggester
+        s = Suggester.__new__(Suggester)
+        s.table = {p: [t for _, t in sorted(v)] for p, v in table.items()}
+        # lexicon df map already in RAM (WandEngine) → exact long-prefix
+        # completion beyond the table's explosion bound
+        s.df_lookup = self.wand._df
+        s.max_prefix_len = SUGGEST_MAX_PREFIX_LEN
+        return s
 
     def _hydrate(self, out: dict) -> dict:
         """Join top-k hits with doc metadata (reference hydration,
