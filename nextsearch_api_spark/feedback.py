@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections import deque
 from typing import Any
@@ -63,6 +64,10 @@ class FeedbackManager:
         self.storage_path = storage_path
         self.max_entries = max_entries
         self.entries: deque[dict] = deque()
+        # one writer at a time: concurrent HTTP feedback posts truncating
+        # the same .tmp file could publish corrupt JSON (the reference
+        # serializes the store behind its feedback mutex too)
+        self._lock = threading.Lock()
         if storage_path:
             parent = os.path.dirname(storage_path)
             if parent:
@@ -104,14 +109,15 @@ class FeedbackManager:
                 time.strftime("%Y-%m-%dT%H:%M:%S", time.localtime(now))
                 + f".{ms:03d}Z"
             )
-        self.entries.append(entry)
-        while len(self.entries) > self.max_entries:
-            self.entries.popleft()
-        try:
-            self._save()
-        except Exception:
-            return False
-        return True
+        with self._lock:
+            self.entries.append(entry)
+            while len(self.entries) > self.max_entries:
+                self.entries.popleft()
+            try:
+                self._save()
+            except Exception:
+                return False
+            return True
 
     def all(self) -> dict:
         return {"count": len(self.entries), "max_entries": self.max_entries,
