@@ -205,16 +205,27 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
         # TAAT on THIS index — the regime where an unsound upper bound would
         # actually bite, unlike the tiny corpora in tests/. Runs on every
         # bench invocation so every BENCH_r*.json is also a parity run.
+        # doc sequences must match exactly; scores with a relative tolerance
+        # (the two paths accumulate floats in different orders, so a pair
+        # straddling a round-to-4-decimals boundary is not a divergence —
+        # ADVICE r3)
+        import numpy as _np
         parity = 0
         for _, q, _ in BENCH_QUERIES:
             for kk in (10, 100):
                 rw = wand.search(q, kk, mode="wand")["results"]
                 rt = wand.search(q, kk, mode="taat")["results"]
-                lw = [(r["doc_id"], round(r["score"], 4)) for r in rw]
-                lt = [(r["doc_id"], round(r["score"], 4)) for r in rt]
-                assert lw == lt, (
-                    f"WAND/TAAT divergence for {q!r} k={kk}: "
-                    f"{lw[:5]} vs {lt[:5]}"
+                dw = [r["doc_id"] for r in rw]
+                dt = [r["doc_id"] for r in rt]
+                assert dw == dt, (
+                    f"WAND/TAAT doc divergence for {q!r} k={kk}: "
+                    f"{dw[:5]} vs {dt[:5]}"
+                )
+                sw = _np.array([r["score"] for r in rw], dtype=_np.float64)
+                st = _np.array([r["score"] for r in rt], dtype=_np.float64)
+                assert _np.allclose(sw, st, rtol=1e-6, atol=1e-9), (
+                    f"WAND/TAAT score divergence for {q!r} k={kk}: "
+                    f"{sw[:5]} vs {st[:5]}"
                 )
                 parity += 1
 

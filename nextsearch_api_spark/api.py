@@ -68,6 +68,17 @@ class LruCache:
             os.replace(tmp, self.persist_path)
 
 
+def _copy_response(out: dict) -> dict:
+    """Copy a cached response deeply enough that callers (or AI hooks fed
+    ``results``) can mutate result rows without corrupting the cached entry
+    (ADVICE r3): the row dicts are the only shared mutable level."""
+    out = dict(out)
+    if isinstance(out.get("results"), list):
+        out["results"] = [dict(r) if isinstance(r, dict) else r
+                          for r in out["results"]]
+    return out
+
+
 class Engine:
     """Single-node serving engine over a built index (the reference
     Engine analog, api_engine.cpp:50-162 reload semantics)."""
@@ -135,7 +146,7 @@ class Engine:
             cached = self.search_cache.get(key)
             if cached is not None:
                 self._counters["search_cache_hits"] += 1
-                cached = dict(cached)
+                cached = _copy_response(cached)
         if cached is not None:
             # reference cached shape (api_server.cpp:141-165): search time
             # zeroed, the lookup cost reported separately
@@ -160,7 +171,10 @@ class Engine:
         out["search_time_ms"] = round(search_ms, 2)
         with self._lock:
             self.search_cache.put(key, out)
-        out = dict(out)
+        # deep-enough copy: the cached entry keeps its own row dicts, so a
+        # caller (or the ai_overview hook) mutating returned rows cannot
+        # corrupt later cache hits (ADVICE r3)
+        out = _copy_response(out)
         out["cached"] = False
         out["total_time_ms"] = round((time.time() - t0) * 1000, 2)
         return out

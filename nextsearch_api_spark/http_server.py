@@ -63,6 +63,15 @@ def _make_handler(engine: Engine):
             return {k: v[0] for k, v in
                     parse_qs(urlparse(self.path).query).items()}
 
+        def _int_param(self, p, name: str, default: int):
+            """(value, None) or (None, error_dict): a non-numeric ``k`` is a
+            malformed-request 400 like the missing-param cases, not a 500
+            from the generic handler (ADVICE r3)."""
+            try:
+                return int(p.get(name, default)), None
+            except (TypeError, ValueError):
+                return None, {"error": f"invalid {name}"}
+
         # --------------------------------------------------------- routes --
         def do_OPTIONS(self):  # noqa: N802 — CORS preflight (cpp:91-106)
             self.send_response(204)
@@ -83,13 +92,19 @@ def _make_handler(engine: Engine):
                     if "q" not in p:
                         self._json({"error": "missing q param"}, 400)
                         return
-                    k = int(p.get("k", 10))
+                    k, kerr = self._int_param(p, "k", 10)
+                    if kerr is not None:
+                        self._json(kerr, 400)
+                        return
                     self._json(engine.search(p["q"], k))
                 elif route == "/api/suggest":
                     if "q" not in p:
                         self._json({"error": "missing q param"}, 400)
                         return
-                    k = int(p.get("k", 5))
+                    k, kerr = self._int_param(p, "k", 5)
+                    if kerr is not None:
+                        self._json(kerr, 400)
+                        return
                     self._json(engine.suggest(p["q"], k))
                 elif route == "/api/stats":
                     self._json(engine.stats())
@@ -97,7 +112,11 @@ def _make_handler(engine: Engine):
                     if "q" not in p:
                         self._json({"error": "missing q param"}, 400)
                         return
-                    out = engine.ai_overview(p["q"], int(p.get("k", 10)))
+                    k, kerr = self._int_param(p, "k", 10)
+                    if kerr is not None:
+                        self._json(kerr, 400)
+                        return
+                    out = engine.ai_overview(p["q"], k)
                     self._json(out, out.pop("status", 200))
                 elif route == "/api/ai_summary":
                     if "cord_uid" not in p:

@@ -80,6 +80,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+def _band_buckets(df: DataFrame, text_col: str, id_col: str,
+                  num_hashes: int, rows_per_band: int,
+                  shingle_n: int) -> DataFrame:
+    """(doc_id, band, bucket) — the LSH banding shared by the candidate
+    join and the guard-audit metrics."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
+        .select("doc_id", "band", F.md5(F.to_json(F.col("sig"))).alias("bucket"))
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         rows_per_band: int = 2, shingle_n: int = 3,
@@ -87,14 +101,10 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     """MinHash-LSH near-dup candidates → (doc_a, doc_b).
 
     Bands of ``rows_per_band`` signature rows; docs sharing a full band land
-    in the same bucket; pairs emitted per bucket (guarded by max_bucket)."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
-        .select("doc_id", "band", F.md5(F.to_json(F.col("sig"))).alias("bucket"))
-    )
+    in the same bucket; pairs emitted per bucket (guarded by max_bucket —
+    audit what the guard excluded with ``lsh_guard_metrics``)."""
+    band = _band_buckets(df, text_col, id_col, num_hashes, rows_per_band,
+                         shingle_n)
     guarded = band.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).where(F.col("bsz") <= max_bucket)
@@ -106,6 +116,42 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_guard_metrics(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 8,
+                      rows_per_band: int = 2, shingle_n: int = 3,
+                      max_bucket: int = 1000) -> DataFrame:
+    """One-row audit of what ``lsh_candidate_pairs``' silent guards excluded
+    (the brief's no-silent-caps rule): at 100 TB a run must be able to
+    report how many docs produced no shingles (< shingle_n tokens) and how
+    many degenerate buckets (> max_bucket members) were dropped, instead of
+    reading as full coverage.
+
+    → (docs_total, docs_without_shingles, buckets_total, dropped_buckets,
+       dropped_band_rows). Same inputs as lsh_candidate_pairs; all partial-
+       agg-friendly counts."""
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    sh_ids = shingles(df, text_col, id_col, shingle_n).select("doc_id").distinct()
+    doc_counts = (
+        ids.join(sh_ids.withColumn("_has", F.lit(1)), "doc_id", "left")
+        .agg(F.count("*").alias("docs_total"),
+             F.sum(F.when(F.col("_has").isNull(), 1).otherwise(0))
+             .cast("long").alias("docs_without_shingles"))
+    )
+    sizes = (
+        _band_buckets(df, text_col, id_col, num_hashes, rows_per_band,
+                      shingle_n)
+        .groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    )
+    bucket_counts = sizes.agg(
+        F.count("*").cast("long").alias("buckets_total"),
+        F.sum(F.when(F.col("bsz") > max_bucket, 1).otherwise(0))
+        .cast("long").alias("dropped_buckets"),
+        F.sum(F.when(F.col("bsz") > max_bucket, F.col("bsz")).otherwise(0))
+        .cast("long").alias("dropped_band_rows"),
+    )
+    return doc_counts.crossJoin(bucket_counts)
 
 
 def simhash(tf: DataFrame, bits: int = 32) -> DataFrame:

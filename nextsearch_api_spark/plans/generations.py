@@ -105,16 +105,23 @@ def flip_generation(index_root: str, components: dict[str, str],
     # last-writer-wins PUT of one small file — equally safe for one writer
     new["atomic_rename"] = "put" if uri_root else "local"
 
-    cur = os.path.join(index_root, CURRENT_POINTER)
-    tmp = cur + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(new, f, indent=2)
-    os.replace(tmp, cur)  # ← the one atomic commit point
+    def _write_pointer(mapping: dict) -> None:
+        cur = os.path.join(index_root, CURRENT_POINTER)
+        tmp = cur + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(mapping, f, indent=2)
+        os.replace(tmp, cur)  # ← the one atomic commit point
+
+    _write_pointer(new)
 
     # GC dirs superseded by the PREVIOUS flip (nothing can be serving them:
-    # they stopped being referenced one whole generation ago)
+    # they stopped being referenced one whole generation ago). A deletion
+    # that FAILS (permissions, open handles on non-POSIX mounts) is kept in
+    # gc_pending so the next flip retries instead of leaking the directory
+    # untracked (ADVICE r3).
     if not uri_root:
         live = {new[name] for name in DEFAULT_COMPONENTS} | set(new["gc_pending"])
+        leaked: list[str] = []
         for prev in prior_pending:
             if prev in live:
                 continue
@@ -126,4 +133,9 @@ def flip_generation(index_root: str, components: dict[str, str],
                     os.remove(stale)
                 except OSError:
                     pass
+            if os.path.exists(stale):
+                leaked.append(prev)
+        if leaked:
+            new["gc_pending"] = sorted(set(new["gc_pending"]) | set(leaked))
+            _write_pointer(new)
     return new

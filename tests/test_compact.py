@@ -114,3 +114,36 @@ def test_index_format_version_checked(spark, tmp_path, tiny_index):
         WandEngine(clone)
     with _pytest.raises(ValueError, match="format"):
         IndexReader(spark, clone)
+
+
+def test_generation_gc_failed_delete_retried(tmp_path, monkeypatch):
+    """A gc_pending dir whose deletion FAILS stays tracked for retry at the
+    next flip instead of leaking untracked (ADVICE r3)."""
+    import json
+    import os
+
+    from nextsearch_api_spark.config import CURRENT_POINTER
+    from nextsearch_api_spark.plans import generations
+    from nextsearch_api_spark.plans.generations import flip_generation
+
+    root = str(tmp_path / "idx")
+    os.makedirs(os.path.join(root, "postings_g1"))
+    os.makedirs(os.path.join(root, "stale_old"))
+    with open(os.path.join(root, CURRENT_POINTER), "w") as f:
+        json.dump({"gen": 1, "postings": "postings_g1",
+                   "gc_pending": ["stale_old"]}, f)
+
+    # simulate an undeletable dir (open handles on a non-POSIX mount, perms)
+    monkeypatch.setattr(generations.shutil, "rmtree",
+                        lambda *a, **kw: None)
+    m2 = flip_generation(root, {}, 2)
+    assert "stale_old" in m2["gc_pending"]      # kept for retry
+    # the pointer on disk agrees with the returned mapping
+    with open(os.path.join(root, CURRENT_POINTER)) as f:
+        assert "stale_old" in json.load(f)["gc_pending"]
+
+    # once deletion works again, the NEXT flip clears it
+    monkeypatch.undo()
+    m3 = flip_generation(root, {}, 3)
+    assert not os.path.exists(os.path.join(root, "stale_old"))
+    assert "stale_old" not in m3["gc_pending"]

@@ -221,3 +221,30 @@ def test_ai_summary_cache_flow(server):
         assert c["cached"] is True and calls == ["u42"]
     finally:
         eng.hooks.pop("ai_summary", None)
+
+
+def test_http_invalid_k_is_400(server):
+    """Non-numeric k is a malformed request (400), not a 500 from the
+    generic handler (ADVICE r3)."""
+    for path in ("/api/search?q=hotterm&k=abc",
+                 "/api/suggest?q=bu&k=1.5x",
+                 "/api/ai_overview?q=hotterm&k=NaNplus"):
+        code, body = _err(_get, server, path)
+        assert code == 400 and body["error"] == "invalid k"
+
+
+def test_search_cache_immune_to_caller_mutation(server):
+    """A caller (or AI hook) mutating returned result rows must not corrupt
+    the cached entry (ADVICE r3): responses carry their own row dicts."""
+    eng = server.engine
+    out1 = eng.search("hotterm buffer", 4)
+    assert out1["results"]
+    out1["results"][0]["score"] = -1.0
+    out1["results"][0]["clobbered"] = True
+    del out1["results"][1]
+
+    out2 = eng.search("hotterm buffer", 4)
+    assert out2["cached"] is True
+    assert out2["results"][0]["score"] != -1.0
+    assert "clobbered" not in out2["results"][0]
+    assert len(out2["results"]) == 4

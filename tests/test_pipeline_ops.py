@@ -267,3 +267,100 @@ def test_ivf_ann(spark, tmp_path):
     import os
     cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
     assert len(cells) >= 2  # data actually spreads across cells
+
+
+def test_multimodal_byte_budget_bounds_batches(spark, tmp_path):
+    """target_bytes_per_task really drives partitioning (VERDICT r3 #1): a
+    table of large payloads must split into byte-bounded tasks, so no
+    JVM→Python Arrow batch can carry more than ~budget bytes of payload."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nextsearch_api_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _payload_bytes, extract_features,
+    )
+
+    n, payload_mb = 24, 2
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["id"].astype("int64"),
+                "kind": "image",
+                "mime": "application/octet-stream",
+                "width": 1, "height": 1, "duration_ms": None,
+                "payload": [bytes([i % 251]) * (payload_mb << 20)
+                            for i in pdf["id"]],
+            })
+
+    media = spark.range(n, numPartitions=2).mapInPandas(gen, MEDIA_SCHEMA)
+
+    # the agg fallback measures the true payload volume
+    assert _payload_bytes(media) == n * (payload_mb << 20)
+
+    out = extract_features(media, dim=8, fake=True,
+                           target_bytes_per_task=4 << 20)
+    per_part = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .count().collect()
+    )
+    # 48 MB / 4 MB budget → ≥ 12 tasks; round-robin puts ≈2 rows (4 MB) in
+    # each, so no partition (hence no Arrow batch) exceeds ~the budget
+    assert len(per_part) >= 12
+    assert max(r["count"] for r in per_part) <= 3
+
+    # ...and the footer-statistics path agrees when the input is a parquet
+    # scan (the zero-read cost model for 100 TB tables)
+    path = str(tmp_path / "media_big")
+    media.write.mode("overwrite").parquet(path)
+    scanned = spark.read.parquet(path)
+    fb = _payload_bytes(scanned)
+    assert fb >= n * (payload_mb << 20)  # uncompressed footer size ≥ raw
+
+    # identical features regardless of the budget-driven partitioning
+    big_budget = extract_features(media, dim=8, fake=True,
+                                  target_bytes_per_task=1 << 30).collect()
+    small = {r["media_id"]: r["feature"] for r in out.collect()}
+    assert small == {r["media_id"]: r["feature"] for r in big_budget}
+
+
+def test_guard_metrics_audit(spark, docs):
+    """The silent guards are auditable (no-silent-caps): dropped-bucket and
+    docs-without-shingles counts surface through the metrics frames."""
+    from nextsearch_api_spark.operators.dedup import (
+        lsh_candidate_pairs, lsh_guard_metrics,
+    )
+
+    m = lsh_guard_metrics(docs, num_hashes=8, rows_per_band=2).first()
+    assert m["docs_total"] == 6
+    assert m["docs_without_shingles"] == 1      # the empty doc (id 5)
+    assert m["dropped_buckets"] == 0 and m["dropped_band_rows"] == 0
+    assert m["buckets_total"] > 0
+
+    # force drops: docs 0,1 (exact dups) share every band bucket → with
+    # max_bucket=1, all their shared buckets drop and the pair disappears
+    m1 = lsh_guard_metrics(docs, num_hashes=8, rows_per_band=2,
+                           max_bucket=1).first()
+    assert m1["dropped_buckets"] >= 4           # one per band
+    assert m1["dropped_band_rows"] >= 2 * m1["dropped_buckets"]
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, rows_per_band=2,
+                                max_bucket=1).collect()
+    assert pairs == []                          # what the audit explains
+
+
+def test_near_dup_guard_metrics(spark):
+    from nextsearch_api_spark.operators.similarity import near_dup_guard_metrics
+
+    rng = np.random.default_rng(3)
+    rows = [(0, [float(x) for x in rng.standard_normal(8)]),
+            (1, [0.0] * 8)]
+    signs = np.sign(rng.standard_normal(8)) * 1e-9
+    for i in range(2, 22):
+        rows.append((i, [float(x) for x in signs * (1 + 0.01 * i)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    m = near_dup_guard_metrics(emb, n_planes=6, max_bucket=10).first()
+    assert m["vecs_total"] == 22
+    assert m["zero_norm_vecs"] == 1
+    assert m["dropped_buckets"] >= 1            # the degenerate sign bucket
+    assert m["dropped_vecs"] >= 20
