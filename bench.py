@@ -247,6 +247,73 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
         spark.stop()
 
 
+def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
+    """Wall-times for the LLM-data-pipeline family (VERDICT r3 next #2):
+    dedup (MinHash/LSH), embedding near-dup, ANN probe, multimodal feature
+    extraction — best-of-2 with per-run steal, same methodology as the
+    query bench. These operators had correctness oracles but no perf
+    history; a regression was previously invisible."""
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        import numpy as np
+
+        from nextsearch_api_spark.operators.dedup import (
+            lsh_candidate_pairs, minhash_signatures,
+        )
+        from nextsearch_api_spark.operators.multimodal import (
+            extract_features, synth_media,
+        )
+        from nextsearch_api_spark.operators.similarity import (
+            ann_lsh_topk, build_ann_index, embedding_near_dup_pairs,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        media = synth_media(spark, 512)
+        # persist inputs: timing measures the operators, not re-generation
+        docs.cache().count(), emb.cache().count(), media.cache().count()
+
+        ann_path = os.path.join(workdir, "ann_idx")
+        H = build_ann_index(emb, ann_path, n_planes=8, seed=42)
+        dim = len(emb.select("embedding").first()[0])
+        qv = [float(x) for x in
+              np.random.default_rng(7).standard_normal(dim)]
+
+        ops = {
+            "minhash_signatures": lambda: minhash_signatures(
+                docs, num_hashes=8).count(),
+            "lsh_candidate_pairs": lambda: lsh_candidate_pairs(
+                docs, num_hashes=8, rows_per_band=2).count(),
+            "emb_near_dup": lambda: embedding_near_dup_pairs(
+                emb, n_planes=8, tau=0.8).count(),
+            "ann_lsh_probe": lambda: ann_lsh_topk(
+                spark, ann_path, H, qv, k=10).count(),
+            "extract_features": lambda: extract_features(
+                media, dim=16, fake=False, on_unsupported="skip").count(),
+        }
+        times: dict[str, float] = {}
+        runs: dict[str, list[float]] = {n: [] for n in ops}
+        steals: dict[str, list[float]] = {n: [] for n in ops}
+        for _ in range(2):
+            for name, fn in ops.items():
+                s0, tt0 = _cpu_ticks()
+                t0 = time.time()
+                fn()
+                runs[name].append(round(time.time() - t0, 3))
+                s1, tt1 = _cpu_ticks()
+                steals[name].append(
+                    round(100.0 * (s1 - s0) / max(1, tt1 - tt0), 2))
+        for name, rr in runs.items():
+            times[name] = min(rr)
+        return {"seconds": times, "all_runs": runs, "steal_pct": steals,
+                "timing": "best_of_2",
+                "rows": {"documents": docs.count(), "embeddings": emb.count(),
+                         "media": media.count()}}
+    finally:
+        spark.stop()
+
+
 def materialize_corpus(cpus: int, n_docs: int, workdir: str) -> str:
     spark = _mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -363,6 +430,7 @@ def main() -> None:
 
     corpus_path = materialize_corpus(cpus, n_docs, workdir)
     r = run_build_and_queries(cpus, n_docs, corpus_path, workdir)
+    pipe = run_pipeline_bench(cpus, sf_dir, workdir)
     print(json.dumps({
         "metric": "index_build_seconds",
         "value": r["build_seconds"],
@@ -380,6 +448,7 @@ def main() -> None:
         "wand_query_ms": r["wand_query_ms"],
         "wand_load_seconds": r["wand_load_seconds"],
         "wand_taat_parity_checks": r["wand_taat_parity_checks"],
+        "pipeline": pipe,
         "cpus": cpus,
     }))
 
@@ -518,6 +587,30 @@ single-query latency on its CORD-19 index (README.md:90, single node,
 hardware unspecified). Our WAND serving tier is in the same class on a
 comparable-size index while the batch tier executes entire query batches as
 one distributed plan.
+
+## LLM-pipeline operator benchmarks (expected scale shape)
+
+Per-round BENCH_r*.json carries a `pipeline` section: best-of-2 wall
+seconds + per-run steal for the pipeline family over the sf-dir
+documents/embeddings tables and a 512-row synthetic media table. How each
+should scale:
+
+- `minhash_signatures` — explode(shingles) ∝ corpus tokens; the min-agg
+  shuffle is keyed by doc (never by shingle) and partial-agg friendly →
+  linear in corpus size, shingle skew irrelevant.
+- `lsh_candidate_pairs` — banded bucket self-join; candidate volume is
+  Σ_b |b|², bounded by near-dup cluster sizes and the max_bucket guard →
+  near-linear unless the corpus is dominated by duplicates (auditable via
+  lsh_guard_metrics).
+- `emb_near_dup` — the vector twin: LSH-bucket self-join, same Σ_b |b|²
+  shape; n_planes tunes bucket granularity (near_dup_guard_metrics audits
+  dropped degenerate buckets).
+- `ann_lsh_probe` — partition-pruned read of ~(1 + n_planes)/2^n_planes of
+  the bucketed index + exact cosine over the probed slice → sub-linear in
+  index size.
+- `extract_features` — byte-budgeted payload scan (partitions =
+  total_payload_bytes / target_bytes_per_task) → linear in media bytes,
+  flat per-task memory.
 """)
 
 

@@ -9,7 +9,11 @@ deterministically.
 
 Formats intentionally NOT supported (no stdlib decoder exists): JPEG, MP3,
 MP4 — those raise ValueError and the pipeline surfaces it per its
-``on_unsupported`` policy.
+``on_unsupported`` policy — unless an OPTIONAL adapter is explicitly
+registered (``register_image_decoder`` / ``enable_pil``). Nothing here
+auto-imports third-party libs; the stdlib-only default stays intact, and
+``extract_features(adapters=[...])`` resolves adapter hooks inside each
+executor worker (driver-side registry mutations don't travel to workers).
 """
 
 from __future__ import annotations
@@ -222,8 +226,65 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 # ------------------------------------------------------------------ sniff --
 
 
+# ----------------------------------------------------------- adapter seam --
+# kind → (magic(buf) -> bool, decode(buf) -> uint8 HxWxC array). EXPLICIT
+# registration only — never auto-imported, never populated at module import.
+# Registered kinds count as images for feature extraction. Registration is
+# per-process: use extract_features(adapters=["module:function"]) so each
+# Spark worker resolves and runs the hook itself (VERDICT r3 next #8).
+_EXTRA_IMAGE_DECODERS: dict = {}
+
+IMAGE_KINDS = ("png", "bmp", "ppm")
+
+
+def register_image_decoder(kind: str, magic, decode) -> None:
+    """Register an optional image decoder: ``magic(buf)->bool`` sniffs the
+    format, ``decode(buf)->uint8 (H,W,C)`` decodes it. Idempotent per kind
+    (last registration wins)."""
+    _EXTRA_IMAGE_DECODERS[kind] = (magic, decode)
+
+
+def unregister_image_decoder(kind: str) -> None:
+    _EXTRA_IMAGE_DECODERS.pop(kind, None)
+
+
+def enable_pil() -> None:
+    """Adapter hook: PIL-backed JPEG decoding. Raises ImportError when PIL
+    is absent (this container ships without it) — callers opt in via
+    extract_features(adapters=[".../media_codecs:enable_pil"]); nothing
+    imports PIL unless asked."""
+    from PIL import Image  # noqa: PLC0415 — the whole point is lazy import
+
+    def _decode(buf: bytes) -> np.ndarray:
+        arr = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        return arr.astype(np.uint8)
+
+    register_image_decoder(
+        "jpeg", lambda b: b[:3] == b"\xff\xd8\xff", _decode)
+
+
+def enable_demo_raw() -> None:
+    """Adapter hook for a trivial RAW1 format (magic ``RAW1`` + u16 w,h +
+    w·h·3 bytes) — the reference example of the adapter seam, and what the
+    tests use to exercise worker-side registration without third-party
+    libs."""
+    def _decode(buf: bytes) -> np.ndarray:
+        w, h = struct.unpack("<HH", buf[4:8])
+        return np.frombuffer(buf[8:8 + w * h * 3],
+                             dtype=np.uint8).reshape(h, w, 3)
+
+    register_image_decoder("raw1", lambda b: b[:4] == b"RAW1", _decode)
+
+
+def encode_demo_raw(img: np.ndarray) -> bytes:
+    """Encode the RAW1 demo format (see enable_demo_raw)."""
+    h, w, _ = img.shape
+    return b"RAW1" + struct.pack("<HH", w, h) + img.astype(np.uint8).tobytes()
+
+
 def sniff(buf: bytes) -> str | None:
-    """Magic-byte format detection → 'png'|'bmp'|'ppm'|'wav'|None."""
+    """Magic-byte format detection → 'png'|'bmp'|'ppm'|'wav'|<registered
+    adapter kind>|None."""
     if buf[:8] == _PNG_SIG:
         return "png"
     if buf[:2] == b"BM":
@@ -232,7 +293,14 @@ def sniff(buf: bytes) -> str | None:
         return "ppm"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    for kind, (magic, _dec) in _EXTRA_IMAGE_DECODERS.items():
+        if magic(buf):
+            return kind
     return None
+
+
+def is_image_kind(kind: str | None) -> bool:
+    return kind in IMAGE_KINDS or kind in _EXTRA_IMAGE_DECODERS
 
 
 def decode_image(buf: bytes) -> np.ndarray:
@@ -244,4 +312,7 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_bmp(buf)
     if kind == "ppm":
         return decode_ppm(buf)
-    raise ValueError("unsupported image format (stdlib codecs: PNG/BMP/PPM)")
+    if kind in _EXTRA_IMAGE_DECODERS:
+        return _EXTRA_IMAGE_DECODERS[kind][1](buf)
+    raise ValueError("unsupported image format (stdlib codecs: PNG/BMP/PPM; "
+                     "register adapters for more)")

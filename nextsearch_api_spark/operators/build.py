@@ -798,7 +798,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         ).collect()[0]
         N = int(row["N"])
         avgdl = float(row["total_len"]) / N if N else 0.0
+        # impact_avgdl: the avgdl every chunk's stored f32 impacts (max_impact)
+        # were computed with. While it equals the serving avgdl, stored chunk
+        # maxes are ATTAINED query-time impacts — the batch tier's chunk
+        # prefilter (operators/query.py) relies on that; incremental ingest
+        # drops the marker when generations mix avgdls.
         stats = {"N": N, "avgdl": avgdl, "total_len": int(row["total_len"] or 0),
+                 "impact_avgdl": avgdl,
                  "k1": cfg.bm25.k1, "b": cfg.bm25.b,
                  "format": FORMAT_VERSION, "built_at": time.time()}
         with open(paths.stats, "w") as f:

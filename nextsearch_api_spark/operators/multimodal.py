@@ -116,10 +116,10 @@ def _real_features(payload: bytes, dim: int) -> list[float] | None:
     Audio:  [2, sr/1e3, ch, dur_s, rms, zcr, mean|s|, peak, 8 envelope bins].
     Returns None for formats with no stdlib decoder."""
     from nextsearch_api_spark.functions.media_codecs import (
-        decode_image, decode_wav, sniff,
+        decode_image, decode_wav, is_image_kind, sniff,
     )
     kind = sniff(payload)
-    if kind in ("png", "bmp", "ppm"):
+    if is_image_kind(kind):
         img = decode_image(payload).astype(np.float64)
         if img.ndim == 2:
             img = img[:, :, None]
@@ -174,7 +174,8 @@ def _payload_bytes(media: DataFrame, payload_col: str = "payload") -> int:
 
 def extract_features(media: DataFrame, dim: int = 16, fake: bool = False,
                      target_bytes_per_task: int = 64 << 20,
-                     on_unsupported: str = "error") -> DataFrame:
+                     on_unsupported: str = "error",
+                     adapters: "tuple[str, ...] | list[str]" = ()) -> DataFrame:
     """media → (media_id, feature[dim], payload_sha256).
 
     fake=False (default) REALLY decodes PNG/BMP/PPM/WAV with the stdlib
@@ -189,13 +190,31 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False,
     each Arrow batch, which never spans a partition — carries a bounded
     payload volume regardless of row count. A single payload larger than
     the budget is the irreducible floor (one row can't split).
+
+    ``adapters``: optional "module:function" hooks (e.g.
+    ".../media_codecs:enable_pil") resolved and invoked INSIDE each worker
+    before decoding — the only way optional third-party decoders (PIL,
+    ffmpeg wrappers) can register where the decode actually runs; a
+    driver-side registry mutation would never reach executors. Default ()
+    keeps the stdlib-only behavior.
     """
     if on_unsupported not in ("error", "skip", "metadata"):
         raise ValueError("on_unsupported must be error|skip|metadata")
     if target_bytes_per_task <= 0:
         raise ValueError("target_bytes_per_task must be positive")
+    adapters = tuple(adapters)
+    for spec in adapters:  # fail fast on malformed specs, driver-side
+        if ":" not in spec:
+            raise ValueError(f"adapter spec must be 'module:function': {spec!r}")
+
+    def _apply_adapters() -> None:
+        import importlib
+        for spec in adapters:
+            mod, fn = spec.rsplit(":", 1)
+            getattr(importlib.import_module(mod), fn)()
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _apply_adapters()  # per-worker, idempotent
         for pdf in batches:
             ids, vecs, shas = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):

@@ -263,6 +263,12 @@ def compact_deltas(spark: SparkSession, index_root: str,
         .write.mode("overwrite").parquet(lex_new))
 
     stats.update(N=N, avgdl=avgdl, k1=cfg.bm25.k1, b=cfg.bm25.b)
+    # untouched chunks keep impacts computed with the OLD avgdl while the
+    # rebuilt ones use the new — once generations mix, stored chunk maxes
+    # are no longer attained query-time impacts, so the batch tier's chunk
+    # prefilter must disable itself (operators/query.py reads this marker)
+    if stats.get("impact_avgdl") != avgdl:
+        stats.pop("impact_avgdl", None)
     stats_new = gen_path(index_root, "stats", gen)
     with open(stats_new, "w") as f:
         json.dump(stats, f, indent=2)

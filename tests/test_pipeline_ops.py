@@ -364,3 +364,61 @@ def test_near_dup_guard_metrics(spark):
     assert m["zero_norm_vecs"] == 1
     assert m["dropped_buckets"] >= 1            # the degenerate sign bucket
     assert m["dropped_vecs"] >= 20
+
+
+def test_media_adapter_seam(spark):
+    """Optional-decoder seam (VERDICT r3 stretch #8): explicit registration
+    only, nothing auto-imported; worker-side hooks via adapters=[...]."""
+    from nextsearch_api_spark.functions.media_codecs import (
+        decode_image, enable_demo_raw, encode_demo_raw, is_image_kind,
+        sniff, unregister_image_decoder,
+    )
+    from nextsearch_api_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    raw = encode_demo_raw(img)
+
+    # not registered by default
+    assert sniff(raw) is None and not is_image_kind("raw1")
+    enable_demo_raw()
+    try:
+        assert sniff(raw) == "raw1" and is_image_kind("raw1")
+        assert np.array_equal(decode_image(raw), img)
+    finally:
+        unregister_image_decoder("raw1")
+    assert sniff(raw) is None  # unregister restores stdlib-only behavior
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/x-raw1", 5, 4, None, bytearray(raw))],
+        MEDIA_SCHEMA)
+    # without the adapter the worker has no decoder → on_unsupported policy
+    from pyspark.sql.utils import PythonException
+    with pytest.raises(PythonException, match="no stdlib decoder"):
+        extract_features(media, fake=False).collect()
+    # with the adapter spec, each WORKER registers the decoder itself
+    out = extract_features(
+        media, dim=16, fake=False,
+        adapters=["nextsearch_api_spark.functions.media_codecs:enable_demo_raw"],
+    ).collect()
+    assert len(out) == 1
+    vec = out[0]["feature"]
+    assert vec[0] == 1.0 and vec[1] == 5.0 and vec[2] == 4.0  # image, w, h
+
+    with pytest.raises(ValueError, match="module:function"):
+        extract_features(media, adapters=["not-a-spec"])
+
+
+def test_media_pil_adapter(spark):
+    """PIL-backed JPEG adapter — skipped in stdlib-only containers."""
+    pytest.importorskip("PIL")
+    from nextsearch_api_spark.functions.media_codecs import (
+        enable_pil, sniff, unregister_image_decoder,
+    )
+    enable_pil()
+    try:
+        assert sniff(b"\xff\xd8\xff\xe0" + b"\x00" * 8) == "jpeg"
+    finally:
+        unregister_image_decoder("jpeg")

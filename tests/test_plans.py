@@ -105,3 +105,51 @@ def test_cosine_topk_values(spark):
     assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
     for r in got:
         assert abs(r["cos_sim"] - cos[r["vec_id"]]) < 1e-5
+
+
+def test_chunk_prefilter_prunes_and_stays_exact(spark, plan_env, tiny_index):
+    """VERDICT r3 next #4: for a single-term query on a drift-free index the
+    driver-side prefilter decodes fewer chunk rows, with rank/score/found
+    identity vs the exhaustive plan."""
+    from pyspark.sql import functions as F
+
+    from nextsearch_api_spark.operators.query import _plan_chunk_prune
+    from nextsearch_api_spark.config import BM25Params
+
+    rd = plan_env
+    params = BM25Params()
+    n_chunks = rd.postings().where(F.col("term") == "hotterm").count()
+    assert n_chunks >= 3  # segment-mode build → one chunk per segment ≥ 3
+
+    wl, ov = _plan_chunk_prune(rd, {0: ["hotterm"]}, {0: 2},
+                               {"hotterm": 100}, params)
+    assert "hotterm" in wl and len(wl["hotterm"]) < n_chunks  # fewer decoded
+    assert len(wl["hotterm"]) >= 2                            # ≥ k kept
+    assert ov == {0: 100}                                     # found = df
+
+    # multi-term queries are never pruned; shared terms are kept whole
+    wl2, ov2 = _plan_chunk_prune(
+        rd, {0: ["hotterm"], 1: ["hotterm", "buffer"]}, {0: 2, 1: 2},
+        {"hotterm": 100, "buffer": 50}, params)
+    assert wl2 == {} and ov2 == {}
+
+    # drift gate: once impact_avgdl mismatches, the prefilter disables
+    stats2 = dict(rd.stats)
+    stats2["impact_avgdl"] = stats2["avgdl"] + 1.0
+    class _R:
+        pass
+    r2 = _R(); r2.stats = stats2; r2.chunk_meta = rd.chunk_meta
+    assert _plan_chunk_prune(r2, {0: ["hotterm"]}, {0: 2},
+                             {"hotterm": 100}, params) == ({}, {})
+
+    # end-to-end identity: pruned vs exhaustive plans agree on every column
+    specs = [QuerySpec(0, "hotterm", 2), QuerySpec(1, "buffer", 3),
+             QuerySpec(2, "hotterm buffer", 4),
+             QuerySpec(3, "zzznotaterm hotterm", 2)]
+    a = batch_search(plan_env, specs, prune_chunks=True)
+    b = batch_search(plan_env, specs, prune_chunks=False)
+    ra = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9), r["found"])
+          for r in a.orderBy("qid", "rank").collect()]
+    rb = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9), r["found"])
+          for r in b.orderBy("qid", "rank").collect()]
+    assert ra == rb and ra
