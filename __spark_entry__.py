@@ -370,6 +370,26 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     seed=42, tau=0.3)
 
 
+def q_lsh_guard_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guard-audit of the MinHash-LSH silent caps (no-silent-caps rule):
+    docs that produced no shingles and buckets dropped by max_bucket,
+    hash-checked against a DuckDB oracle with the same banding."""
+    from nextsearch_api_spark.operators.dedup import lsh_guard_metrics
+
+    return lsh_guard_metrics(_docs(spark, sf_dir), text_col="text",
+                             num_hashes=len(_MINHASH_SEEDS),
+                             rows_per_band=1, shingle_n=3, max_bucket=2)
+
+
+def q_near_dup_guard_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guard-audit of the embedding near-dup caps: zero-norm vectors and
+    degenerate LSH buckets dropped by max_bucket (seed-42 planes)."""
+    from nextsearch_api_spark.operators.similarity import near_dup_guard_metrics
+
+    return near_dup_guard_metrics(_emb(spark, sf_dir), n_planes=8, seed=42,
+                                  max_bucket=3)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN probe: training-free spherical coarse
     quantizer with deterministic seed-7 centroids, cell-partitioned index,
@@ -465,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
+        "lsh_guard_metrics": q_lsh_guard_metrics,
+        "near_dup_guard_metrics": q_near_dup_guard_metrics,
         "cosine_topk": q_cosine_topk,
         "label_centroid_norm": q_label_centroid_norm,
         "events_hourly": q_events_hourly,
@@ -570,6 +592,28 @@ sig AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sig a JOIN sig b
   ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id"""
+
+    # guard-metrics oracle: same shingles + signatures; with rows_per_band=1
+    # a band bucket is exactly one (seed, minhash) group, so bucket sizes
+    # (and the max_bucket drop counts) group directly on those columns
+    sql["lsh_guard_metrics"] = f"""
+WITH {shingles_cte},
+seeds(seed) AS (VALUES {_SEED_VALUES_SQL}),
+sig AS (
+  SELECT doc_id, seed,
+         min(cast(('0x' || substr(md5(seed || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+sizes AS (SELECT seed, minhash, count(*)::BIGINT AS bsz FROM sig GROUP BY 1, 2),
+dc AS (SELECT count(DISTINCT doc_id)::BIGINT AS docs_total FROM documents),
+ws AS (SELECT count(DISTINCT doc_id)::BIGINT AS with_sh FROM sh),
+bc AS (SELECT count(*)::BIGINT AS buckets_total,
+              coalesce(sum(CASE WHEN bsz > 2 THEN 1 ELSE 0 END), 0)::BIGINT AS dropped_buckets,
+              coalesce(sum(CASE WHEN bsz > 2 THEN bsz ELSE 0 END), 0)::BIGINT AS dropped_band_rows
+       FROM sizes)
+SELECT dc.docs_total,
+       (dc.docs_total - ws.with_sh)::BIGINT AS docs_without_shingles,
+       bc.buckets_total, bc.dropped_buckets, bc.dropped_band_rows
+FROM dc, ws, bc"""
 
     sql["unigram_jaccard"] = f"""
 WITH {_D_TOKS},
@@ -720,6 +764,31 @@ FROM buck a JOIN buck b
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3"""
+
+    # near-dup guard-metrics oracle: same inlined planes; bucket sizes +
+    # zero-norm counts (dot(v,v)=0 ⇔ sqrt-norm=0 — squares can't cancel)
+    sql["near_dup_guard_metrics"] = f"""
+WITH planes(pid, pv) AS (VALUES
+    {plane_rows}),
+vecs AS (SELECT vec_id,
+                list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         FROM embeddings),
+buck AS (
+  SELECT vec_id,
+         sum(CASE WHEN list_dot_product(v, pv) > 0
+                  THEN 1 << pid ELSE 0 END)::INT AS bucket
+  FROM vecs CROSS JOIN planes GROUP BY vec_id),
+vc AS (SELECT count(*)::BIGINT AS vecs_total,
+              coalesce(sum(CASE WHEN list_dot_product(v, v) = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS zero_norm_vecs
+       FROM vecs),
+sizes AS (SELECT bucket, count(*)::BIGINT AS bsz FROM buck GROUP BY 1),
+bc AS (SELECT count(*)::BIGINT AS buckets_total,
+              coalesce(sum(CASE WHEN bsz > 3 THEN 1 ELSE 0 END), 0)::BIGINT AS dropped_buckets,
+              coalesce(sum(CASE WHEN bsz > 3 THEN bsz ELSE 0 END), 0)::BIGINT AS dropped_vecs
+       FROM sizes)
+SELECT vc.vecs_total, vc.zero_norm_vecs,
+       bc.buckets_total, bc.dropped_buckets, bc.dropped_vecs
+FROM vc, bc"""
 
     # ann_ivf_topk oracle: seed-7 centroids inlined; cell = per-vector argmax
     # dot (row_number window), probe = top-2 centroids for the query, exact

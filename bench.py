@@ -544,12 +544,21 @@ These are cluster-relevant settings, not bench tricks: the same knobs
 (row-group size, tasks-per-core, Arrow batch size) govern scan
 splittability, wave packing and executor cache locality at 100 TB.
 
+Round 4 attacked the remaining per-stage fixed work: (a) the ids stage's
+sample job + counts job (3.0 s at 8 cores) are replaced below
+DRIVER_KEYS_MAX rows by ONE column-pruned Arrow keys-collect (~0.4 s:
+C-kernel binary sort on UTF-8 bytes, the same order Spark's UTF8String
+compares, so driver-computed bucket counts match the JVM bucket expression
+exactly — parity-tested incl. supplementary-plane keys); larger corpora
+keep the distributed two-job path; (b) N/total_len are observed DURING the
+docs write (Observation metric accumulators), removing the stats stage's
+aggregation job.
+
 Residual sub-linearity at 16 cores tracks the kernel sweep's own 16-core
 knee (0.85) plus per-stage fixed work that does not grow with data —
-range-bound sampling collects, footer row-counts, job/Python-worker setup
+footer row-counts, job/Python-worker setup
 (per-stage wall sums match the build wall to within a second, so there is
-no hidden inter-stage serial gap; the two heavy stages each reach ~7× at
-16 cores vs the kernels' 13.5×). At real scale those fixed seconds
+no hidden inter-stage serial gap). At real scale those fixed seconds
 amortize to noise. The plan
 itself stays exchange-minimal: the postings build has no token exchange;
 doc-id assignment is ONE bucket exchange carrying full corpus rows — the

@@ -132,3 +132,38 @@ def test_search_one_json_shape(reader):
     if out["results"]:
         r = out["results"][0]
         assert {"rank", "doc_id", "score", "uid", "repo", "path"} <= set(r)
+
+
+def test_assign_doc_ids_paths_agree(spark, tiny_corpus):
+    """The keys-collect fast path and the distributed sample+count path must
+    assign identical dense ids — and both must equal the global key rank."""
+    from nextsearch_api_spark.operators.build import assign_doc_ids
+
+    cols = ["repo", "path", "commit", "doc_id"]
+    fast = {tuple(r[c] for c in cols[:3]): r["doc_id"]
+            for r in assign_doc_ids(tiny_corpus).select(*cols).collect()}
+    dist = {tuple(r[c] for c in cols[:3]): r["doc_id"]
+            for r in assign_doc_ids(tiny_corpus, driver_keys_max=0)
+            .select(*cols).collect()}
+    assert fast == dist
+    ranked = sorted(fast, key=lambda t: "\x01".join(t).encode("utf-8"))
+    assert [fast[t] for t in ranked] == list(range(1, len(ranked) + 1))
+
+
+def test_assign_doc_ids_non_ascii_keys(spark):
+    """Driver-side byte comparison must match Spark's UTF8String binary
+    order — exercised with supplementary-plane characters whose UTF-16
+    code-unit order DIFFERS from code-point/UTF-8 order."""
+    from nextsearch_api_spark.operators.build import assign_doc_ids
+
+    rows = [(r, "p", "c", "x", "body") for r in
+            ["！repo", "\U0001f600repo", "zrepo", "arepo", "érepo"]]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    out_fast = {r["repo"]: r["doc_id"] for r in
+                assign_doc_ids(df, n_buckets=3).collect()}
+    out_dist = {r["repo"]: r["doc_id"] for r in
+                assign_doc_ids(df, n_buckets=3, driver_keys_max=0).collect()}
+    assert out_fast == out_dist
+    ranked = sorted(out_fast, key=lambda r: r.encode("utf-8"))
+    assert [out_fast[r] for r in ranked] == [1, 2, 3, 4, 5]

@@ -120,6 +120,27 @@ def test_stream_ingest_and_compact(spark, tmp_path):
     assert len(upd_rows) == 5
     assert all(r["doc_id"] >= (1 << 62) for r in upd_rows)
 
+    # the chunk-prefilter drift gate: incremental merges mix chunk
+    # generations with different avgdls, so stats must have DROPPED the
+    # impact_avgdl marker and batch_search must fall back to exhaustive
+    # decode (prefilter returns empty) while staying exact
+    import json as _json
+    with open(p2 := IndexPaths(root).stats) as f:
+        st = _json.load(f)
+    assert "impact_avgdl" not in st, p2
+    from nextsearch_api_spark.operators.query import (
+        IndexReader, QuerySpec, batch_search, _plan_chunk_prune,
+    )
+    from nextsearch_api_spark.config import BM25Params
+    rd = IndexReader(spark, root)
+    rd.term_dfs(["hotterm"])
+    assert _plan_chunk_prune(rd, {0: ["hotterm"]}, {0: 2},
+                             {"hotterm": 10}, BM25Params()) == ({}, {})
+    a = batch_search(rd, [QuerySpec(0, "hotterm", 5)], prune_chunks=True)
+    b = batch_search(rd, [QuerySpec(0, "hotterm", 5)], prune_chunks=False)
+    assert ([(r["doc_id"], r["found"]) for r in a.orderBy("rank").collect()]
+            == [(r["doc_id"], r["found"]) for r in b.orderBy("rank").collect()])
+
 
 def test_stream_event_rollup(spark, tmp_path):
     from nextsearch_api_spark.streaming.ingest import stream_event_rollup
