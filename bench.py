@@ -262,7 +262,7 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
             lsh_candidate_pairs, minhash_signatures,
         )
         from nextsearch_api_spark.operators.multimodal import (
-            extract_features, synth_media,
+            extract_features, resize_images, synth_media,
         )
         from nextsearch_api_spark.operators.similarity import (
             ann_lsh_topk, build_ann_index, embedding_near_dup_pairs,
@@ -291,6 +291,8 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
                 spark, ann_path, H, qv, k=10).count(),
             "extract_features": lambda: extract_features(
                 media, dim=16, fake=False, on_unsupported="skip").count(),
+            "resize_images": lambda: resize_images(
+                media, 16, 16, on_unsupported="skip").count(),
         }
         times: dict[str, float] = {}
         runs: dict[str, list[float]] = {n: [] for n in ops}
@@ -620,6 +622,9 @@ should scale:
 - `extract_features` — byte-budgeted payload scan (partitions =
   total_payload_bytes / target_bytes_per_task) → linear in media bytes,
   flat per-task memory.
+- `resize_images` — same byte-budgeted shape, but the OUTPUT carries
+  payloads too, so the budget bounds both directions of the Arrow
+  transfer → linear in media bytes.
 """)
 
 

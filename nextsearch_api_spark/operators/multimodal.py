@@ -240,15 +240,111 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False,
             yield pd.DataFrame({"media_id": np.array(ids, dtype=np.int64),
                                 "feature": vecs, "payload_sha256": shas})
 
-    n = media.rdd.getNumPartitions()
     pruned = media.select("media_id", "payload")
     # byte-budgeted task count: payloads are large, so partition (and hence
-    # Arrow-batch) volume is bounded by bytes, not rows. The max(n, 4)
-    # floor keeps small inputs at least as parallel as before.
-    total_bytes = _payload_bytes(media)
-    by_bytes = math.ceil(total_bytes / target_bytes_per_task) if total_bytes else 0
-    parts = max(n, 4, by_bytes)
+    # Arrow-batch) volume is bounded by bytes, not rows
+    parts = _byte_partitions(media, target_bytes_per_task)
     return pruned.repartition(parts).mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("mime", StringType(), False),
+    StructField("payload", BinaryType(), False),
+])
+
+
+def _byte_partitions(media: DataFrame, target_bytes_per_task: int) -> int:
+    """Partition count from total payload bytes (see extract_features)."""
+    n = media.rdd.getNumPartitions()
+    total = _payload_bytes(media)
+    by_bytes = math.ceil(total / target_bytes_per_task) if total else 0
+    return max(n, 4, by_bytes)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  out_format: str = "png",
+                  target_bytes_per_task: int = 64 << 20,
+                  on_unsupported: str = "error",
+                  adapters: "tuple[str, ...] | list[str]" = ()) -> DataFrame:
+    """Resize every image payload to (width, height) → (media_id, width,
+    height, mime, payload) with re-encoded payloads.
+
+    Decode uses the stdlib codecs (plus any worker-registered adapters,
+    same seam as extract_features); resampling is vectorized numpy
+    nearest-neighbor (index-mapped take — no Python pixel loops);
+    re-encode is PNG (default), BMP or PPM. Non-image payloads follow
+    ``on_unsupported``: 'error' raises, 'skip' drops the row, 'metadata'
+    passes the original payload through untouched. The input is
+    byte-budget repartitioned exactly like extract_features, and — unlike
+    feature rows — the OUTPUT also carries payloads, so the same budget
+    bounds both directions of the Arrow transfer.
+    """
+    if out_format not in ("png", "bmp", "ppm"):
+        raise ValueError("out_format must be png|bmp|ppm")
+    if on_unsupported not in ("error", "skip", "metadata"):
+        raise ValueError("on_unsupported must be error|skip|metadata")
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    adapters = tuple(adapters)
+    for spec in adapters:
+        if ":" not in spec:
+            raise ValueError(f"adapter spec must be 'module:function': {spec!r}")
+    mime = {"png": "image/png", "bmp": "image/bmp",
+            "ppm": "image/x-portable-pixmap"}[out_format]
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import importlib
+        for spec in adapters:
+            mod, fn = spec.rsplit(":", 1)
+            getattr(importlib.import_module(mod), fn)()
+        from nextsearch_api_spark.functions.media_codecs import (
+            decode_image, encode_bmp, encode_png, encode_ppm, is_image_kind,
+            sniff,
+        )
+        enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}[out_format]
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                if not is_image_kind(sniff(p)):
+                    if on_unsupported == "error":
+                        raise ValueError(
+                            f"media_id={int(mid)}: not a decodable image "
+                            "(supported: PNG/BMP/PPM + registered adapters)")
+                    if on_unsupported == "skip":
+                        continue
+                    ids.append(int(mid))
+                    outs.append(p)  # metadata: pass-through untouched
+                    continue
+                img = decode_image(p)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                if img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                elif img.shape[2] == 2:  # grey+alpha → replicate luma
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
+                h_in, w_in = img.shape[:2]
+                # vectorized nearest-neighbor: index-mapped row/col take
+                rows = (np.arange(height) * h_in) // height
+                cols = (np.arange(width) * w_in) // width
+                ids.append(int(mid))
+                outs.append(enc(img[rows][:, cols, :3].astype(np.uint8)))
+            if not ids:
+                continue
+            yield pd.DataFrame({
+                "media_id": np.array(ids, dtype=np.int64),
+                "width": np.full(len(ids), width, dtype=np.int32),
+                "height": np.full(len(ids), height, dtype=np.int32),
+                "mime": mime,
+                "payload": outs,
+            })
+
+    pruned = media.select("media_id", "payload")
+    parts = _byte_partitions(media, target_bytes_per_task)
+    return pruned.repartition(parts).mapInPandas(do_resize, schema=RESIZED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:

@@ -422,3 +422,58 @@ def test_media_pil_adapter(spark):
         assert sniff(b"\xff\xd8\xff\xe0" + b"\x00" * 8) == "jpeg"
     finally:
         unregister_image_decoder("jpeg")
+
+
+def test_resize_images(spark):
+    """resize_images: real decode → vectorized nearest-neighbor → re-encode;
+    deterministic across partitionings; policy handling for non-images."""
+    from nextsearch_api_spark.functions.media_codecs import (
+        decode_image, encode_png,
+    )
+    from nextsearch_api_spark.operators.multimodal import (
+        MEDIA_SCHEMA, resize_images, synth_media,
+    )
+
+    # known-pixel check: a 2x2 image upsampled 2x nearest replicates blocks
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [255, 255, 0]]], dtype=np.uint8)
+    one = spark.createDataFrame(
+        [(7, "image", "image/png", 2, 2, None, bytearray(encode_png(px)))],
+        MEDIA_SCHEMA)
+    out = resize_images(one, 4, 4).collect()
+    assert len(out) == 1 and out[0]["mime"] == "image/png"
+    img = decode_image(bytes(out[0]["payload"]))
+    assert img.shape == (4, 4, 3)
+    assert np.array_equal(img, np.repeat(np.repeat(px, 2, 0), 2, 1))
+
+    media = synth_media(spark, 30).cache()
+    # video rows have no decoder → error by default, droppable via skip
+    from pyspark.sql.utils import PythonException
+    with pytest.raises(PythonException, match="not a decodable image"):
+        resize_images(media, 8, 8).collect()
+    # NOTE: skip drops audio too (WAV sniffs but is not an image)
+    res = resize_images(media, 8, 6, on_unsupported="skip").collect()
+    assert len(res) == 10  # 10 image rows of 30
+    for r in res:
+        assert (r["width"], r["height"]) == (8, 6)
+        assert decode_image(bytes(r["payload"])).shape == (6, 8, 3)
+    # determinism across partitionings
+    res2 = resize_images(media.repartition(7), 8, 6,
+                         on_unsupported="skip").collect()
+    assert ({r["media_id"]: bytes(r["payload"]) for r in res}
+            == {r["media_id"]: bytes(r["payload"]) for r in res2})
+    # metadata policy passes non-images through untouched
+    passthru = resize_images(media, 8, 6, on_unsupported="metadata").collect()
+    assert len(passthru) == 30
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    untouched = [r for r in passthru
+                 if bytes(r["payload"]) == orig[r["media_id"]]]
+    assert len(untouched) == 20  # audio + video pass through
+
+    # ppm re-encode round-trip
+    ppm = resize_images(media, 5, 5, out_format="ppm",
+                        on_unsupported="skip").collect()
+    assert all(bytes(r["payload"])[:2] == b"P6" for r in ppm)
+
+    with pytest.raises(ValueError, match="out_format"):
+        resize_images(media, 4, 4, out_format="gif")
