@@ -68,6 +68,19 @@ def test_generation_gc_deferred_one_flip(spark, tmp_path):
     assert m1["gc_pending"]  # superseded dirs recorded, NOT deleted
     for d in m1["gc_pending"]:
         assert os.path.exists(os.path.join(root, d)), d
+    # prune-on/off parity survives compaction (same avgdl → impact_avgdl
+    # marker still valid → prefilter active on the rebuilt chunks)
+    from nextsearch_api_spark.operators.query import (
+        IndexReader, QuerySpec, batch_search,
+    )
+    rd = IndexReader(spark, root)
+    pa_ = batch_search(rd, [QuerySpec(0, "hotterm", 5)], prune_chunks=True)
+    pb_ = batch_search(rd, [QuerySpec(0, "hotterm", 5)], prune_chunks=False)
+    assert ([(r["doc_id"], round(r["score"], 9), r["found"])
+             for r in pa_.orderBy("rank").collect()]
+            == [(r["doc_id"], round(r["score"], 9), r["found"])
+                for r in pb_.orderBy("rank").collect()])
+
     # the pre-flip reader still serves identical results from the old dirs
     again = old.search("hotterm buffer", 10)
     assert [x["doc_id"] for x in again["results"]] == [

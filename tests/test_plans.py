@@ -153,3 +153,28 @@ def test_chunk_prefilter_prunes_and_stays_exact(spark, plan_env, tiny_index):
     rb = [(r["qid"], r["rank"], r["doc_id"], round(r["score"], 9), r["found"])
           for r in b.orderBy("qid", "rank").collect()]
     assert ra == rb and ra
+
+
+def test_chunk_prefilter_randomized_parity(spark, plan_env):
+    """Randomized single/multi-term queries at several k values: the pruned
+    plan must be rank-, score- and found-identical to exhaustive decode."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    vocab = [r["term"] for r in
+             plan_env.lexicon().select("term").orderBy(F.desc("df"))
+             .limit(40).collect()]
+    specs = []
+    for qid in range(12):
+        n_terms = rng.choice([1, 1, 1, 2, 3])  # bias to the pruned shape
+        q = " ".join(rng.sample(vocab, n_terms))
+        specs.append(QuerySpec(qid, q, rng.choice([1, 2, 5, 37, 100])))
+    a = batch_search(plan_env, specs, prune_chunks=True)
+    b = batch_search(plan_env, specs, prune_chunks=False)
+    key = lambda r: (r["qid"], r["rank"], r["doc_id"],
+                     round(r["score"], 9), r["found"])
+    ra = sorted(key(r) for r in a.collect())
+    rb = sorted(key(r) for r in b.collect())
+    assert ra == rb and ra
