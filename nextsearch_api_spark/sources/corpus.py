@@ -164,9 +164,18 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def write_corpus(df: DataFrame, target: str, partition_by: str | None = "lang") -> None:
-    """Write the corpus table — Iceberg when available, else Parquet with an
-    identical schema (SURVEY.md §7.0 CorpusCatalog contract)."""
+_CORPUS_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_corpus(df: DataFrame, target: str, partition_by: str | None = "lang",
+                 fmt: str = "parquet") -> None:
+    """Write the corpus table — Iceberg when available, else a file-format
+    directory with an identical schema (SURVEY.md §7.0 CorpusCatalog
+    contract). ``fmt``: parquet (default) | orc | json | csv — parquet/orc
+    are the columnar scale paths (column pruning + predicate pushdown);
+    json/csv cover interchange with external pipelines."""
+    if fmt not in _CORPUS_FORMATS:
+        raise ValueError(f"fmt must be one of {_CORPUS_FORMATS}")
     spark = df.sparkSession
     if _iceberg_available(spark) and "/" not in target:
         w = df.writeTo(target)
@@ -175,11 +184,40 @@ def write_corpus(df: DataFrame, target: str, partition_by: str | None = "lang") 
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
-    w.parquet(target)
+    if fmt == "csv":
+        # content carries newlines/commas/quotes — full quoting + escape,
+        # and the writer's whitespace trimming OFF (it defaults to true and
+        # silently drops trailing newlines/spaces from quoted values)
+        w = (w.option("header", "true").option("escape", '"')
+             .option("multiLine", "true")
+             .option("ignoreLeadingWhiteSpace", "false")
+             .option("ignoreTrailingWhiteSpace", "false"))
+    w.format(fmt).save(target)
 
 
-def read_corpus(spark: SparkSession, source: str) -> DataFrame:
-    """Read the corpus from an Iceberg table name or a Parquet path."""
+def read_corpus(spark: SparkSession, source: str,
+                fmt: str = "parquet") -> DataFrame:
+    """Read the corpus from an Iceberg table name or a file-format path.
+    Non-parquet formats are read with the EXPLICIT corpus schema — never
+    inferred (csv/json inference costs an extra pass and can drift types)."""
+    if fmt not in _CORPUS_FORMATS:
+        raise ValueError(f"fmt must be one of {_CORPUS_FORMATS}")
     if "/" not in source and _iceberg_available(spark):
         return spark.read.format("iceberg").load(source)
-    return spark.read.parquet(source)
+    schema = "repo string, path string, commit string, lang string, content string"
+    if fmt == "parquet":
+        return spark.read.parquet(source)
+    if fmt == "orc":
+        return spark.read.orc(source).select(
+            "repo", "path", "commit", "lang", "content")
+    r = spark.read.schema(schema)
+    if fmt == "csv":
+        # multiLine + quote-escape for newline/comma-bearing content, and
+        # the univocity whitespace trimming OFF — content bytes must
+        # round-trip exactly
+        r = (r.option("header", "true").option("escape", '"')
+             .option("multiLine", "true")
+             .option("ignoreLeadingWhiteSpace", "false")
+             .option("ignoreTrailingWhiteSpace", "false"))
+    return r.format(fmt).load(source).select(
+        "repo", "path", "commit", "lang", "content")

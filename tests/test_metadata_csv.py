@@ -70,3 +70,35 @@ def test_csv_roundtrip_and_hydration(spark, tmp_path):
     assert urls == {"u1": "http://a", "u2": "http://c"}
     r2 = hydrate_by_uid(meta, ["u2"]).collect()[0]
     assert r2["abstract"] == "multi\nline abstract"
+
+
+def test_corpus_formats_roundtrip(spark, tiny_corpus, tmp_path):
+    """Corpus source/sink formats: parquet/orc/json/csv all round-trip the
+    exact table (content carries newlines, quotes, unicode); reads use the
+    explicit schema, never inference."""
+    import pytest
+
+    from nextsearch_api_spark.sources.corpus import read_corpus, write_corpus
+
+    def rows(df):
+        return sorted(
+            (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+            for r in df.select("repo", "path", "commit", "lang",
+                               "content").collect())
+
+    want = rows(tiny_corpus)
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / f"c_{fmt}")
+        write_corpus(tiny_corpus, p, partition_by=None, fmt=fmt)
+        got = rows(read_corpus(spark, p, fmt=fmt))
+        assert got == want, fmt
+
+    # partitioned non-parquet write keeps the partition column on read
+    p = str(tmp_path / "c_json_part")
+    write_corpus(tiny_corpus, p, partition_by="lang", fmt="json")
+    assert rows(read_corpus(spark, p, fmt="json")) == want
+
+    with pytest.raises(ValueError, match="fmt"):
+        write_corpus(tiny_corpus, str(tmp_path / "x"), fmt="avro")
+    with pytest.raises(ValueError, match="fmt"):
+        read_corpus(spark, str(tmp_path / "c_parquet"), fmt="avro")
