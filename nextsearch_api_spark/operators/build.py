@@ -88,14 +88,18 @@ def _parquet_rows(path: str) -> int:
 
 
 def _fast_count(df: DataFrame) -> int:
-    """Row-count estimate for sampling decisions: Parquet footer metadata when
-    the plan is a straight file scan (an over-estimate is harmless for the
-    sample fraction), else a count job."""
+    """Row-count estimate for sampling decisions: Parquet/ORC footer
+    metadata when the plan is a straight file scan (an over-estimate is
+    harmless for the sample fraction), else a count job."""
     try:
         files = df.inputFiles()
         if files and all(f.endswith(".parquet") for f in files):
             import pyarrow.dataset as ds
             return ds.dataset([f.replace("file:", "") for f in files]).count_rows()
+        if files and all(f.endswith(".orc") for f in files):
+            from pyarrow import orc
+            return sum(orc.ORCFile(f.replace("file:", "")).nrows
+                       for f in files)
     except Exception:
         pass
     return df.count()

@@ -5,8 +5,9 @@ declarative DataFrame plan:
 
   query strings → tokenize + len/stopword filter (repeated terms keep
   repeating — the loop at api_engine.cpp:449 scores a duplicated term twice)
-  → broadcast query-term table ⨝ lexicon (the ``seg.lex.find`` hash lookup,
-  :453-455; absent terms drop out via inner join) → postings scan pruned by
+  → literal term→(qid, widf, k) map lookup (the ``seg.lex.find`` hash
+  lookup, :453-455; absent terms drop out via the null filter — a scalar
+  codegen expression, no join/broadcast) → postings scan pruned by
   term predicate (Parquet min/max on the term-sorted files — the offset-seek
   analog, :463-475) → vectorized chunk decode + float32 per-posting impact
   (:478-479) → contribution = weight · idf · impact summed per (qid, doc)
@@ -377,9 +378,6 @@ def batch_search(
         (qid, t, float(occ) * float(idf_map[t]), k)
         for qid, t, occ, k in qrows if t in idf_map
     ]
-    qterms = spark.createDataFrame(
-        qterm_rows, "qid long, term string, widf double, k int"
-    )
 
     # chunk-level top-k prefilter (driver-side plan over chunk metadata)
     whitelist: dict[str, list[int]] = {}
@@ -409,12 +407,33 @@ def batch_search(
     decode, out_schema = _decode_score_udf(reader.avgdl, params)
     impacts = chunks.mapInPandas(decode, schema=out_schema)
 
+    # query-term weights as a LITERAL map term → [(qid, widf, k), ...]: a
+    # scalar codegen lookup + explode instead of a createDataFrame +
+    # broadcast-join — the per-batch driver round-trip and the broadcast
+    # exchange both disappear (the term set is query-sized, so the literal
+    # is tiny). Semantics identical: inner-join ⇔ null-lookup filter.
+    by_term: dict[str, list[tuple[int, float, int]]] = {}
+    for qid, t, widf, k in qterm_rows:
+        by_term.setdefault(t, []).append((qid, widf, k))
+    map_args: list = []
+    for t, lst in sorted(by_term.items()):
+        map_args.append(F.lit(t))
+        map_args.append(F.array(*[
+            F.struct(F.lit(qid).cast("long").alias("qid"),
+                     F.lit(widf).cast("double").alias("widf"),
+                     F.lit(k).cast("int").alias("k"))
+            for qid, widf, k in lst
+        ]))
+    qmap = F.create_map(*map_args)
+
     scored = (
-        impacts.join(F.broadcast(qterms), "term")
-        .groupBy("qid", "doc_id")
+        impacts.withColumn("_qm", qmap[F.col("term")])
+        .where(F.col("_qm").isNotNull())
+        .select("doc_id", "impact", F.explode("_qm").alias("_q"))
+        .groupBy(F.col("_q.qid").alias("qid"), F.col("doc_id").alias("doc_id"))
         .agg(
-            F.sum(F.col("impact").cast("double") * F.col("widf")).alias("score"),
-            F.first("k").alias("k"),
+            F.sum(F.col("impact").cast("double") * F.col("_q.widf")).alias("score"),
+            F.first(F.col("_q.k")).alias("k"),
         )
     )
     # Scale-safe found + rank (VERDICT r1 'what's wrong' #2 — a per-qid

@@ -28,10 +28,17 @@ def test_postings_scan_pushes_term_filter(spark, plan_env):
     assert "In(term" in plan, plan[:2000]
 
 
-def test_batch_search_uses_broadcast_join(spark, plan_env):
+def test_batch_search_qterms_need_no_exchange(spark, plan_env):
+    """Query-term weights apply as a literal map lookup (scalar codegen
+    expression), so the plan carries NO join and NO broadcast exchange for
+    the query side — the only exchanges are the score agg + rank windows
+    (r4; previously a createDataFrame + broadcast join cost a driver
+    round-trip per batch)."""
     topk = batch_search(plan_env, [QuerySpec(0, "buffer cache99", 5)])
     plan = _plan(topk)
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "keys=[buffer" in plan or "keys=[cache99" in plan \
+        or "map_keys" in plan or "map(" in plan.lower()
+    assert "BroadcastExchange" not in plan
     # top-k is a window row_number bounded filter, not a global sort
     assert "row_number" in plan.lower()
 
