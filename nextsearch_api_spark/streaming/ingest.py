@@ -14,6 +14,11 @@ streaming-shaped capability a Spark-native engine should have:
   * ``stream_event_rollup`` — watermarked tumbling-window aggregation over
     an event stream (the events.parquet shape), demonstrating late-data
     handling (q_events_hourly is its batch twin).
+  * ``stream_user_sessions`` — CUSTOM stateful operator via
+    ``applyInPandasWithState``: event-time session windows per user with
+    an explicit state schema and event-time timeouts — the operator shape
+    Spark's built-in windowed aggs can't express (session membership
+    depends on inter-event gaps, not fixed boundaries).
   * ``compact_deltas`` — merges deltas into the main index INCREMENTALLY:
     only terms touched by the delta (or by superseded doc versions) are
     decoded and re-chunked, untouched chunks are copied through; then ALL
@@ -136,6 +141,139 @@ def stream_event_rollup(spark: SparkSession, src_dir: str, out_dir: str,
     )
     writer = (
         agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_user_sessions(spark: SparkSession, src_dir: str, out_dir: str,
+                         checkpoint_dir: str, gap_s: int = 1800,
+                         watermark: str = "1 minute",
+                         trigger_once: bool = True):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    event-time SESSION windows per user over the events stream.
+
+    A session = consecutive events of one user with inter-event gaps
+    ≤ ``gap_s``. Built-in windowed aggs can't express this (membership
+    depends on gaps, not fixed boundaries), so state is explicit:
+    (session_start_us, last_event_us, n, sum_value) per user, updated with
+    vectorized in-batch session splitting (np.diff gap mask + reduceat —
+    no per-event Python). Closed sessions are emitted append-style:
+    in-batch when a later event opens the next session, or via an
+    EVENT-TIME TIMEOUT (watermark passes last event + gap) for trailing
+    sessions — the timeout path is what makes this a true stateful
+    operator rather than a per-batch groupBy.
+
+    Scale shape: state is keyed by user (one small tuple per live user,
+    partitioned by the streaming state store), emission is O(closed
+    sessions); no global structure.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n", LongType()),
+        StructField("sum_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_value", DoubleType()),
+    ])
+    gap_us = int(gap_s) * 1_000_000
+
+    def _emit(user: int, sess: "list[tuple[int, int, int, float]]") -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": np.full(len(sess), user, dtype=np.int64),
+            "session_start": pd.to_datetime([s[0] for s in sess], unit="us"),
+            "session_end": pd.to_datetime([s[1] for s in sess], unit="us"),
+            "n": np.array([s[2] for s in sess], dtype=np.int64),
+            "sum_value": np.array([s[3] for s in sess], dtype=np.float64),
+        })
+
+    def sessions(key, pdfs, state: GroupState):
+        user = int(key[0])
+        if state.hasTimedOut:
+            start_us, last_us, n, sv = state.get
+            state.remove()
+            yield _emit(user, [(start_us, last_us, n, sv)])
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values("ts")
+        ts = (pd.to_datetime(rows["ts"]).astype("datetime64[ns]")
+              .astype("int64").to_numpy() // 1000)  # → µs
+        vals = rows["value"].to_numpy(dtype=np.float64)
+        if state.exists:
+            p_start, p_last, p_n, p_sv = state.get
+        else:
+            p_start = p_last = None
+        # vectorized session split: new session where gap > gap_us
+        prev = np.empty(len(ts), dtype=np.int64)
+        prev[1:] = ts[:-1]
+        prev[0] = p_last if p_last is not None else ts[0]
+        starts = np.nonzero(ts - prev > gap_us)[0]
+        bounds = np.concatenate(([0], starts, [len(ts)]))
+        segs: list[tuple[int, int, int, float]] = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if lo == hi:
+                continue
+            segs.append((int(ts[lo]), int(ts[hi - 1]), hi - lo,
+                         float(vals[lo:hi].sum())))
+        # merge the carried session into the first segment iff no gap
+        if p_last is not None:
+            s0 = segs[0]
+            if s0[0] - p_last <= gap_us:
+                segs[0] = (p_start, s0[1], p_n + s0[2], p_sv + s0[3])
+            else:
+                segs.insert(0, (p_start, p_last, p_n, p_sv))
+        *closed, trailing = segs
+        state.update(tuple(trailing))
+        # event-time timeout must sit strictly above the current watermark
+        state.setTimeoutTimestamp(
+            max(trailing[1] // 1000 + gap_s * 1000,
+                state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield _emit(user, closed)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+    out = (
+        src.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessions, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -157,3 +157,69 @@ def test_stream_event_rollup(spark, tmp_path):
     # at minimum the schema contract holds and counts are positive
     assert set(got.columns) == {"event_type", "window_start", "n", "sum_value"}
     assert got.where(F.col("n") <= 0).count() == 0
+
+
+def test_stream_user_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState session operator: in-batch session closes are
+    exact; trailing sessions close via EVENT-TIME TIMEOUT once the
+    watermark passes last_event + gap; state survives restarts through the
+    checkpoint."""
+    import os
+
+    import pandas as pd
+
+    from nextsearch_api_spark.streaming.ingest import stream_user_sessions
+
+    base = pd.Timestamp("2024-01-01")
+    cols = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def ev(eid, uid, minutes, val):
+        return (eid, (base + pd.Timedelta(minutes=minutes)).to_pydatetime(),
+                uid, "click", float(val), "{}")
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src, exist_ok=True)
+    # user 1: session A = events at 0/5/10 min; session B = 60/62 min
+    # (gap 50 min > 30 min session gap). user 2: one event — only a
+    # timeout can close it.
+    batch1 = [ev(0, 1, 0, 1.0), ev(1, 1, 5, 2.0), ev(2, 1, 10, 3.0),
+              ev(3, 1, 60, 4.0), ev(4, 1, 62, 5.0), ev(5, 2, 0, 7.0)]
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    out, ckpt = str(tmp_path / "sessions"), str(tmp_path / "ckpt_sess")
+
+    def run_trigger():
+        q = stream_user_sessions(spark, src, out, ckpt, gap_s=1800,
+                                 watermark="1 minute")
+        q.awaitTermination(120)
+
+    def got():
+        import glob
+        if not glob.glob(out + "/*.parquet"):
+            return set()
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n"],
+             round(r["sum_value"], 6))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    run_trigger()
+    sess_a = (1, base.to_pydatetime(),
+              (base + pd.Timedelta(minutes=10)).to_pydatetime(), 3, 6.0)
+    assert sess_a in got()  # closed IN-BATCH by the 60-min event
+
+    # later event (any user) advances the watermark past both trailing
+    # sessions' timeouts; availableNow runs no-data batches to fire them
+    spark.createDataFrame([ev(6, 3, 300, 1.0)], cols).coalesce(1).write.mode(
+        "append").parquet(src)
+    sess_b = (1, (base + pd.Timedelta(minutes=60)).to_pydatetime(),
+              (base + pd.Timedelta(minutes=62)).to_pydatetime(), 2, 9.0)
+    sess_u2 = (2, base.to_pydatetime(), base.to_pydatetime(), 1, 7.0)
+    for _ in range(3):  # timeouts may need an extra (no-data) micro-batch
+        run_trigger()
+        if {sess_b, sess_u2} <= got():
+            break
+    assert {sess_a, sess_b, sess_u2} <= got()
+    # nothing invented: only these users appear
+    assert {g[0] for g in got()} <= {1, 2, 3}
