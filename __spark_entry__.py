@@ -411,6 +411,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, path, C, qv, k=10, nprobe=2)
 
 
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF probe: spherical k-means centroids (Lloyd's as pure
+    DataFrame aggs, deterministic seed-7 init) replace the random coarse
+    quantizer. Iterative training is not SQL-expressible — this entry takes
+    the driver's rows-only check; the recall win over the random quantizer
+    is asserted in tests/test_pipeline_ops.py::test_trained_ivf_improves_recall."""
+    import tempfile
+
+    from nextsearch_api_spark.operators.similarity import (
+        build_ivf_index, ivf_topk, train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    C = train_ivf_centroids(emb.where(F.col("vec_id") != 0),
+                            n_centroids=16, seed=7, max_iter=4)
+    path = os.path.join(tempfile.gettempdir(),
+                        "ns_ivft_" + os.path.basename(os.path.normpath(sf_dir)))
+    C = build_ivf_index(emb.where(F.col("vec_id") != 0), path,
+                        n_centroids=16, seed=7, centroids=C)
+    return ivf_topk(spark, path, C, qv, k=10, nprobe=2)
+
+
 # ------------------------------------------------- similarity / vectors --
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "emb_near_dup": q_emb_near_dup,
         "lsh_guard_metrics": q_lsh_guard_metrics,
         "near_dup_guard_metrics": q_near_dup_guard_metrics,

@@ -228,15 +228,65 @@ def ivf_cell_udf(centroids: np.ndarray):
     return F.pandas_udf(cell, IntegerType())
 
 
+def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 7,
+                        max_iter: int = 10, tol: float = 1e-4,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means (Lloyd's) over the embedding column — the trained
+    coarse quantizer for real IVF, as pure DataFrame aggregations.
+
+    Initialization is the deterministic random quantizer (ivf_centroids),
+    so the whole procedure is reproducible: assignment uses the SAME
+    argmax-cosine rule as ivf_cell_udf (ties → lowest cell), the update is
+    the per-cell element-wise mean renormalized to the sphere, empty cells
+    keep their previous centroid. Per iteration: one Arrow-batched assign
+    pass + one (cell, dim)-keyed mean — a partial-agg-friendly shuffle of
+    scalars (64× fan-out of the vector stream), then an
+    n_centroids×dim collect (bounded). Converges when max centroid
+    movement < ``tol``.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    C = ivf_centroids(dim, n_centroids, seed)
+    vecs = emb.select(F.col(vec_col).alias("v"))
+    for _ in range(max_iter):
+        cell = ivf_cell_udf(C)
+        assigned = vecs.withColumn("cell", cell(F.col("v")))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        newC = C.copy()
+        by_cell: dict[int, np.ndarray] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]),
+                               np.zeros(dim))[int(r["dim"])] = float(r["m"])
+        for c, v in by_cell.items():
+            n = np.linalg.norm(v)
+            if n > 0:
+                newC[c] = v / n
+        delta = float(np.abs(newC - C).max())
+        C = newC
+        if delta < tol:
+            break
+    return C
+
+
 def build_ivf_index(emb: DataFrame, out_path: str, n_centroids: int = 16,
-                    seed: int = 7, vec_col: str = "embedding") -> np.ndarray:
+                    seed: int = 7, vec_col: str = "embedding",
+                    centroids: "np.ndarray | None" = None) -> np.ndarray:
     """Materialize the IVF-bucketed table partitioned by cell — partition
     pruning serves each probe with ~nprobe/n_centroids of the scan. The
     scale path for ANN where hyperplane-LSH's 2^n_planes bucket count is too
     coarse a knob: n_centroids tracks data size directly, nprobe trades
-    recall for read volume."""
-    dim = len(emb.select(vec_col).first()[0])
-    C = ivf_centroids(dim, n_centroids, seed)
+    recall for read volume. Pass ``centroids`` (e.g. from
+    train_ivf_centroids) to bucket by a TRAINED quantizer instead of the
+    deterministic random one."""
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        dim = len(emb.select(vec_col).first()[0])
+        C = ivf_centroids(dim, n_centroids, seed)
     cell = ivf_cell_udf(C)
     (emb.withColumn("cell", cell(F.col(vec_col)))
         .repartition("cell")

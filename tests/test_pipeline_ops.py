@@ -477,3 +477,54 @@ def test_resize_images(spark):
 
     with pytest.raises(ValueError, match="out_format"):
         resize_images(media, 4, 4, out_format="gif")
+
+
+def test_trained_ivf_improves_recall(spark, tmp_path):
+    """Spherical k-means IVF: trained centroids align cells with the data's
+    clusters, beating the training-free random quantizer at nprobe=1; the
+    training is reproducible across input partitionings."""
+    from nextsearch_api_spark.operators.similarity import (
+        build_ivf_index, cosine_topk, ivf_centroids, ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, k_clusters = 16, 5
+    centers = rng.standard_normal((k_clusters, dim)) * 3
+    rows = []
+    r2 = np.random.default_rng(6)
+    # wide clusters (sigma 2.5): members straddle the RANDOM quantizer's
+    # cell boundaries, while trained cells wrap the clusters — this is the
+    # regime where training pays (tight clusters quantize fine either way)
+    for i in range(300):
+        c = centers[i % k_clusters]
+        rows.append((i, [float(x) for x in c + r2.standard_normal(dim) * 2.5]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    trained = train_ivf_centroids(emb, n_centroids=8, seed=7, max_iter=6)
+    # reproducible across partitionings (float-summation drift only)
+    trained2 = train_ivf_centroids(emb.repartition(7), n_centroids=8,
+                                   seed=7, max_iter=6)
+    assert np.allclose(trained, trained2, atol=1e-9)
+    assert np.allclose(np.linalg.norm(trained, axis=1), 1.0)  # spherical
+    assert trained.shape == (8, dim)
+    # training moved the quantizer
+    assert not np.allclose(trained, ivf_centroids(dim, 8, 7))
+
+    def recall_at(nprobe, centroids, path):
+        C = build_ivf_index(emb, path, n_centroids=8, seed=7,
+                            centroids=centroids)
+        hits = 0
+        for qi in range(k_clusters):
+            qv = [float(x) for x in centers[qi]]
+            exact = {r["vec_id"] for r in cosine_topk(emb, qv, 10).collect()}
+            approx = {r["vec_id"] for r in
+                      ivf_topk(spark, path, C, qv, 10, nprobe=nprobe).collect()}
+            hits += len(exact & approx)
+        return hits / (10 * k_clusters)
+
+    r_rand = recall_at(1, None, str(tmp_path / "ivf_rand"))
+    r_train = recall_at(1, trained, str(tmp_path / "ivf_train"))
+    # measured on this seeded set: 0.70 random vs 0.86 trained
+    assert r_train >= r_rand + 0.1
+    assert r_train >= 0.8
