@@ -176,6 +176,10 @@ def write_corpus(df: DataFrame, target: str, partition_by: str | None = "lang",
     json/csv cover interchange with external pipelines."""
     if fmt not in _CORPUS_FORMATS:
         raise ValueError(f"fmt must be one of {_CORPUS_FORMATS}")
+    # canonical column order on disk: the explicit-schema readers (csv/orc)
+    # apply positionally, so a caller-side column permutation must not leak
+    # into the files (ADVICE r4 #4 — silently swapped columns on round-trip)
+    df = df.select("repo", "path", "commit", "lang", "content")
     spark = df.sparkSession
     if _iceberg_available(spark) and "/" not in target:
         w = df.writeTo(target)
@@ -214,9 +218,13 @@ def read_corpus(spark: SparkSession, source: str,
     if fmt == "csv":
         # multiLine + quote-escape for newline/comma-bearing content, and
         # the univocity whitespace trimming OFF — content bytes must
-        # round-trip exactly
+        # round-trip exactly. enforceSchema=false validates the header NAMES
+        # against the schema instead of dropping the header positionally, so
+        # a column-permuted file fails fast instead of silently swapping
+        # (ADVICE r4 #4; write_corpus also canonicalizes order on write).
         r = (r.option("header", "true").option("escape", '"')
              .option("multiLine", "true")
+             .option("enforceSchema", "false")
              .option("ignoreLeadingWhiteSpace", "false")
              .option("ignoreTrailingWhiteSpace", "false"))
     return r.format(fmt).load(source).select(

@@ -102,3 +102,24 @@ def test_corpus_formats_roundtrip(spark, tiny_corpus, tmp_path):
         write_corpus(tiny_corpus, str(tmp_path / "x"), fmt="avro")
     with pytest.raises(ValueError, match="fmt"):
         read_corpus(spark, str(tmp_path / "c_parquet"), fmt="avro")
+
+
+def test_corpus_roundtrip_permuted_columns(spark, tiny_corpus, tmp_path):
+    """ADVICE r4 #4: a caller-side column permutation must not round-trip
+    with silently swapped columns through the positional explicit-schema
+    readers — write_corpus canonicalizes the on-disk order, and the CSV
+    reader validates header names (enforceSchema=false)."""
+    from nextsearch_api_spark.sources.corpus import read_corpus, write_corpus
+
+    def rows(df):
+        return sorted(
+            (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+            for r in df.select("repo", "path", "commit", "lang",
+                               "content").collect())
+
+    want = rows(tiny_corpus)
+    permuted = tiny_corpus.select("content", "lang", "repo", "commit", "path")
+    for fmt in ("csv", "orc", "parquet"):
+        p = str(tmp_path / f"perm_{fmt}")
+        write_corpus(permuted, p, partition_by=None, fmt=fmt)
+        assert rows(read_corpus(spark, p, fmt=fmt)) == want, fmt

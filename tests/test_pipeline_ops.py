@@ -528,3 +528,32 @@ def test_trained_ivf_improves_recall(spark, tmp_path):
     # measured on this seeded set: 0.70 random vs 0.86 trained
     assert r_train >= r_rand + 0.1
     assert r_train >= 0.8
+
+
+def test_trained_ivf_matches_numpy_twin(spark):
+    """The distributed trainer (zero-shuffle mapInPandas partials) must
+    compute the same centroids as the driver-side NumPy twin — the twin
+    defines the semantics the unrolled-SQL DuckDB oracle re-derives, so this
+    equality is what makes the ann_ivf_trained_topk gate entry sound.
+    Norm-varying vectors included: spherical k-means sums UNIT vectors, so
+    a large-norm vector must NOT dominate its cell's centroid."""
+    from nextsearch_api_spark.operators.similarity import (
+        train_ivf_centroids, train_ivf_centroids_numpy,
+    )
+
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((250, 12))
+    # scale a third of the rows by 50×: under the r4 raw-mean update these
+    # dominated every cell they touched; the spherical update is invariant
+    M[::3] *= 50.0
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # float32 storage on the Spark side: the twin must see the same values
+    M32 = M.astype(np.float32).astype(np.float64)
+
+    C_spark = train_ivf_centroids(emb, n_centroids=6, seed=3, max_iter=5,
+                                  tol=0.0)
+    C_np = train_ivf_centroids_numpy(M32, n_centroids=6, seed=3, max_iter=5,
+                                     tol=0.0)
+    assert np.allclose(C_spark, C_np, atol=1e-9)
+    assert np.allclose(np.linalg.norm(C_spark, axis=1), 1.0)

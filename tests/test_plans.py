@@ -185,3 +185,24 @@ def test_chunk_prefilter_randomized_parity(spark, plan_env):
     ra = sorted(key(r) for r in a.collect())
     rb = sorted(key(r) for r in b.collect())
     assert ra == rb and ra
+
+
+def test_hydrate_join_is_bounded(spark, plan_env):
+    """VERDICT r4 wrong #4: batch-tier hydration must not risk shuffling the
+    full docs table against ≤Σk result rows. The matched doc_ids (bounded,
+    driver-known) are collected and pushed as an isin filter into the docs
+    scan — row-group pruning — and the pruned docs side joins via an
+    explicit broadcast, never a sort-merge/shuffle join."""
+    from pyspark.sql import functions as F
+
+    topk = batch_search(plan_env, [QuerySpec(0, "buffer hotterm", 5)],
+                        hydrate=True)
+    plan = _plan(topk)
+    assert "In(doc_id" in plan, plan[:3000]        # pushed id filter
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = topk.collect()
+    assert rows and all(r["path"] is not None for r in rows)
+    # left-join semantics preserved: every result row survived hydration
+    bare = batch_search(plan_env, [QuerySpec(0, "buffer hotterm", 5)])
+    assert len(rows) == bare.count()
