@@ -102,6 +102,49 @@ def _cpu_ticks() -> tuple[int, int]:
         return 0, 0
 
 
+# Per-round timing discipline (VERDICT r4 next #1 — the r4 bench regressed
+# under 6.4% steal with only best-of-2 armor and no per-family steal):
+# every timed section runs ≥ BENCH_REPEATS times with per-run steal, and if
+# the BEST run was still contaminated (steal > BENCH_STEAL_LIMIT_PCT) it
+# retries up to BENCH_STEAL_RETRIES more times. The best run's steal is
+# always reported next to its wall so a reviewer can see whether a number
+# was measured on quiet cores — the same discipline the pinned scaling
+# harness has used since r3.
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+BENCH_STEAL_LIMIT_PCT = float(os.environ.get("BENCH_STEAL_LIMIT_PCT", "2.0"))
+BENCH_STEAL_RETRIES = int(os.environ.get("BENCH_STEAL_RETRIES", "2"))
+
+
+def _timed(fn) -> tuple[float, float]:
+    """(wall_seconds, steal_pct) for one invocation."""
+    s0, tt0 = _cpu_ticks()
+    t0 = time.time()
+    fn()
+    dt = time.time() - t0
+    s1, tt1 = _cpu_ticks()
+    return dt, 100.0 * (s1 - s0) / max(1, tt1 - tt0)
+
+
+def _best_of(fn, repeats: int = None, ndigits: int = 4) -> dict:
+    """Best-of-N with steal gating: run ``repeats`` times; if the best run
+    saw steal above the limit, keep retrying (bounded) until a quiet best
+    exists or the retry budget is spent. Returns
+    {best, steal, all_runs, steal_all, clean}."""
+    repeats = repeats or BENCH_REPEATS
+    runs: list[float] = []
+    steals: list[float] = []
+    budget = repeats + BENCH_STEAL_RETRIES
+    for i in range(budget):
+        dt, st = _timed(fn)
+        runs.append(round(dt, ndigits))
+        steals.append(round(st, 2))
+        if i >= repeats - 1 and steals[runs.index(min(runs))] <= BENCH_STEAL_LIMIT_PCT:
+            break
+    b = runs.index(min(runs))
+    return {"best": runs[b], "steal": steals[b], "all_runs": runs,
+            "steal_all": steals, "clean": steals[b] <= BENCH_STEAL_LIMIT_PCT}
+
+
 def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
                           workdir: str) -> dict:
     """Build index from a materialized corpus + run the query set.
@@ -137,56 +180,49 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
         build_index(spark, generate_corpus(spark, 2000, seed=1), warm_root,
                     resume=False)
 
-        # best-of-2 build, same capability methodology as the queries and
-        # the scaling path (single runs on this shared VM vary up to ~40%
-        # with near-zero steal; both raw runs + per-run steal are reported)
-        build_runs: list[float] = []
-        build_steals: list[float] = []
-        t_build = None
-        stage_seconds: dict[str, float] = {}
-        for _ in range(2):
+        # best-of-N steal-gated build (VERDICT r4 next #1)
+        stage_by_run: list[dict] = []
+
+        def _one_build():
             shutil.rmtree(index_root, ignore_errors=True)
-            s0, tt0 = _cpu_ticks()
-            t0 = time.time()
-            stage_metrics = build_index(spark, corpus, index_root, resume=False)
-            dt = time.time() - t0
-            s1, tt1 = _cpu_ticks()
-            build_runs.append(round(dt, 3))
-            build_steals.append(
-                round(100.0 * (s1 - s0) / max(1, tt1 - tt0), 2))
-            if t_build is None or dt < t_build:
-                t_build = dt
-                stage_seconds = {
-                    k: v.get("seconds") for k, v in stage_metrics.items()
-                    if isinstance(v, dict) and "seconds" in v
-                }
-        steal_pct = build_steals[build_runs.index(min(build_runs))]
+            stage_by_run.append(
+                build_index(spark, corpus, index_root, resume=False))
+
+        bld = _best_of(_one_build, ndigits=3)
+        t_build = bld["best"]
+        best_i = bld["all_runs"].index(t_build)
+        stage_seconds = {
+            k: v.get("seconds") for k, v in stage_by_run[best_i].items()
+            if isinstance(v, dict) and "seconds" in v
+        }
 
         reader = IndexReader(spark, index_root)
         # warm-up (JVM/Arrow paths) — excluded from timings
         batch_search(reader, [QuerySpec(0, "buffer", 5)]).collect()
 
-        # best-of-2 per query: single runs on this shared VM carry
-        # multi-second steal spikes; two interleaved passes with the min
-        # reported (and all raw runs kept) measures capability the same way
-        # the scaling path's best-of-N does
+        # best-of-N steal-gated per query family: the r4 round showed
+        # whole-bench contamination that best-of-2 could not absorb; each
+        # query now reports the steal seen during its BEST run
         q_times: dict[str, float] = {}
-        q_runs: dict[str, list[float]] = {name: [] for name, _, _ in BENCH_QUERIES}
-        q_runs["q_all_batched"] = []
-        for _ in range(2):
-            for name, q, k in BENCH_QUERIES:
-                t0 = time.time()
-                batch_search(reader, [QuerySpec(0, q, k)]).collect()
-                q_runs[name].append(round(time.time() - t0, 4))
-            # all queries in ONE plan (the batch-mode amortization headline)
-            t0 = time.time()
-            batch_search(
-                reader,
-                [QuerySpec(i, q, k) for i, (_, q, k) in enumerate(BENCH_QUERIES)],
-            ).collect()
-            q_runs["q_all_batched"].append(round(time.time() - t0, 4))
-        for name, runs in q_runs.items():
-            q_times[name] = min(runs)
+        q_steals: dict[str, float] = {}
+        q_runs: dict[str, list[float]] = {}
+        q_steal_runs: dict[str, list[float]] = {}
+
+        def _q_family(name, fn):
+            r = _best_of(fn)
+            q_times[name] = r["best"]
+            q_steals[name] = r["steal"]
+            q_runs[name] = r["all_runs"]
+            q_steal_runs[name] = r["steal_all"]
+
+        for name, q, k in BENCH_QUERIES:
+            _q_family(name, lambda q=q, k=k: batch_search(
+                reader, [QuerySpec(0, q, k)]).collect())
+        # all queries in ONE plan (the batch-mode amortization headline)
+        _q_family("q_all_batched", lambda: batch_search(
+            reader,
+            [QuerySpec(i, q, k) for i, (_, q, k) in enumerate(BENCH_QUERIES)],
+        ).collect())
 
         # interactive serving tier: driver-side block-max WAND (no Spark job)
         from nextsearch_api_spark.operators.wand import WandEngine
@@ -194,11 +230,25 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
         t0 = time.time()
         wand = WandEngine(index_root)
         t_wand_load = time.time() - t0
-        wand_times: dict[str, float] = {}
-        for name, q, k in BENCH_QUERIES:
-            t0 = time.time()
-            wand.search(q, k)
-            wand_times[name] = round((time.time() - t0) * 1000, 2)  # ms
+        # per-query WAND walls are 2-50 ms — too short for /proc/stat's 10ms
+        # tick resolution per query, so each query is best-of-N and the
+        # steal is accounted over the whole per-pass loop
+        wand_runs: dict[str, list[float]] = {n: [] for n, _, _ in BENCH_QUERIES}
+        wand_loop_steals: list[float] = []
+        for _ in range(BENCH_REPEATS):
+            s0, tt0 = _cpu_ticks()
+            for name, q, k in BENCH_QUERIES:
+                t0 = time.time()
+                wand.search(q, k)
+                wand_runs[name].append(round((time.time() - t0) * 1000, 2))
+            s1, tt1 = _cpu_ticks()
+            wand_loop_steals.append(
+                round(100.0 * (s1 - s0) / max(1, tt1 - tt0), 2))
+        wand_times = {n: min(rr) for n, rr in wand_runs.items()}
+        # first pass = COLD chunk-blob cache (what r3/r4 single-pass runs
+        # measured); best-of-N = warm steady-state serving latency. Report
+        # both — they answer different questions and differ up to ~5×.
+        wand_cold = {n: rr[0] for n, rr in wand_runs.items()}
 
         # correctness gate at BENCH scale (VERDICT r2 #6): pruned WAND must
         # return the identical ranked (doc_id, score) list as exhaustive
@@ -231,15 +281,21 @@ def run_build_and_queries(cpus: int, n_docs: int, corpus_path: str,
 
         return {
             "build_seconds": round(t_build, 3),
-            "build_all_runs": build_runs,
-            "build_steal_pct": steal_pct,
-            "build_steal_all_runs": build_steals,
+            "build_all_runs": bld["all_runs"],
+            "build_steal_pct": bld["steal"],
+            "build_steal_all_runs": bld["steal_all"],
+            "build_clean": bld["clean"],
             "files_per_sec": round(n_docs / t_build, 1),
             "queries": q_times,
-            "query_timing": "best_of_2",
+            "query_timing": f"best_of_{BENCH_REPEATS}_steal_gated",
             "queries_all_runs": q_runs,
+            "queries_steal_pct": q_steals,
+            "queries_steal_all_runs": q_steal_runs,
             "wand_load_seconds": round(t_wand_load, 3),
             "wand_query_ms": wand_times,
+            "wand_query_ms_cold": wand_cold,
+            "wand_query_ms_all_runs": wand_runs,
+            "wand_loop_steal_pct": wand_loop_steals,
             "wand_taat_parity_checks": parity,
             "stage_seconds": stage_seconds,
         }
@@ -295,21 +351,18 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
                 media, 16, 16, on_unsupported="skip").count(),
         }
         times: dict[str, float] = {}
-        runs: dict[str, list[float]] = {n: [] for n in ops}
-        steals: dict[str, list[float]] = {n: [] for n in ops}
-        for _ in range(2):
-            for name, fn in ops.items():
-                s0, tt0 = _cpu_ticks()
-                t0 = time.time()
-                fn()
-                runs[name].append(round(time.time() - t0, 3))
-                s1, tt1 = _cpu_ticks()
-                steals[name].append(
-                    round(100.0 * (s1 - s0) / max(1, tt1 - tt0), 2))
-        for name, rr in runs.items():
-            times[name] = min(rr)
-        return {"seconds": times, "all_runs": runs, "steal_pct": steals,
-                "timing": "best_of_2",
+        best_steal: dict[str, float] = {}
+        runs: dict[str, list[float]] = {}
+        steals: dict[str, list[float]] = {}
+        for name, fn in ops.items():
+            r = _best_of(fn, ndigits=3)
+            times[name] = r["best"]
+            best_steal[name] = r["steal"]
+            runs[name] = r["all_runs"]
+            steals[name] = r["steal_all"]
+        return {"seconds": times, "best_run_steal_pct": best_steal,
+                "all_runs": runs, "steal_pct": steals,
+                "timing": f"best_of_{BENCH_REPEATS}_steal_gated",
                 "rows": {"documents": docs.count(), "embeddings": emb.count(),
                          "media": media.count()}}
     finally:
@@ -372,7 +425,10 @@ def main() -> None:
         def pinned_run(c: int) -> dict:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(c),
                        BENCH_N_DOCS=str(n_docs), BENCH_CORPUS=corpus_path,
-                       BENCH_WORKDIR=workdir)
+                       BENCH_WORKDIR=workdir,
+                       # outer SCALING_REPEATS already interleaves configs;
+                       # 2 inner build runs keep the curve's cost bounded
+                       BENCH_REPEATS=os.environ.get("BENCH_REPEATS", "2"))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one"],
                 env=env, capture_output=True, text=True, check=True,
@@ -438,16 +494,28 @@ def main() -> None:
         "value": r["build_seconds"],
         "build_all_runs": r["build_all_runs"],
         "build_steal_pct": r["build_steal_pct"],
+        "build_steal_all_runs": r["build_steal_all_runs"],
+        "build_clean": r["build_clean"],
         "unit": "sec",
+        "timing_discipline": {
+            "repeats": BENCH_REPEATS,
+            "steal_limit_pct": BENCH_STEAL_LIMIT_PCT,
+            "steal_retries": BENCH_STEAL_RETRIES,
+            "note": "best-of-N walls; sections whose best run exceeded the "
+                    "steal limit after retries are flagged clean=false",
+        },
         "queries": r["queries"],
         "query_timing": r["query_timing"],
         "queries_all_runs": r["queries_all_runs"],
+        "queries_steal_pct": r["queries_steal_pct"],
         # sf is defined as n_docs/400k so the two fields can never disagree
         # (a BENCH_DOCS override previously kept the sf-dir label)
         "sf": round(n_docs / 400_000, 4),
         "n_docs": n_docs,
         "files_per_sec": r["files_per_sec"],
         "wand_query_ms": r["wand_query_ms"],
+        "wand_query_ms_cold": r["wand_query_ms_cold"],
+        "wand_loop_steal_pct": r["wand_loop_steal_pct"],
         "wand_load_seconds": r["wand_load_seconds"],
         "wand_taat_parity_checks": r["wand_taat_parity_checks"],
         "pipeline": pipe,
