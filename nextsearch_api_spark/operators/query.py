@@ -119,12 +119,12 @@ class IndexReader:
     def suggest_table(self) -> DataFrame:
         return self._table(self.paths.suggest)
 
-    def chunk_meta(self, terms: Sequence[str]) -> "dict[str, list[tuple[int, float]]]":
-        """Per-term chunk metadata → {term: [(doc_lo, max_impact), ...]}.
+    def chunk_meta(self, terms: Sequence[str]) -> "dict[str, list[tuple[int, int, float]]]":
+        """Per-term chunk metadata → {term: [(doc_lo, doc_hi, max_impact)]}.
 
         Driver-side pyarrow read of the (term, doc_lo)-sorted postings,
         row-group pruned by the pushed ``isin`` filter and column-pruned to
-        three scalar columns — never the blobs. Volume is df/chunk_size rows
+        four scalar columns — never the blobs. Volume is df/chunk_size rows
         per term (the same order as the WAND tier's resident chunk
         directory), a small fraction of the decode volume it lets the batch
         tier skip. Returns {} on any failure (prefilter is then skipped)."""
@@ -139,14 +139,16 @@ class IndexReader:
                     self._post_dataset = pads.dataset(
                         self.paths.postings, format="parquet")
                 t = self._post_dataset.to_table(
-                    columns=["term", "doc_lo", "max_impact"],
+                    columns=["term", "doc_lo", "doc_hi", "max_impact"],
                     filter=pads.field("term").isin(missing),
                 )
-                fetched: dict[str, list[tuple[int, float]]] = {m: [] for m in missing}
-                for term, lo, mi in zip(t.column("term").to_pylist(),
-                                        t.column("doc_lo").to_pylist(),
-                                        t.column("max_impact").to_pylist()):
-                    fetched.setdefault(term, []).append((int(lo), float(mi)))
+                fetched: dict[str, list[tuple[int, int, float]]] = {m: [] for m in missing}
+                for term, lo, hi, mi in zip(t.column("term").to_pylist(),
+                                            t.column("doc_lo").to_pylist(),
+                                            t.column("doc_hi").to_pylist(),
+                                            t.column("max_impact").to_pylist()):
+                    fetched.setdefault(term, []).append(
+                        (int(lo), int(hi), float(mi)))
                 self._chunk_meta.update(fetched)
             except Exception:
                 return {t: v for t, v in self._chunk_meta.items()
@@ -204,78 +206,203 @@ _CHUNK_PRUNE_SLACK = 1.0 - 1e-5
 HYDRATE_PUSHDOWN_MAX_IDS = 100_000
 
 
-def _plan_chunk_prune(reader: IndexReader, per_qid_terms: dict[int, list[str]],
-                      per_qid_k: dict[int, int], df_map: dict[str, int],
-                      params: BM25Params) -> tuple[dict, dict]:
-    """Driver-side chunk-level top-k prefilter plan (VERDICT r3 next #4).
+# budget on the pairwise chunk-range work of the multi-term prune plan
+# (Σ_t |chunks_t| · |terms|); above it the per-chunk range max falls back to
+# the other term's GLOBAL max — still sound, just a looser upper bound
+_MULTI_PRUNE_RANGE_BUDGET = 200_000
 
-    → (whitelist: {term: [kept doc_lo...]}, found_overrides: {qid: found}).
 
-    Sound EXACT pruning for single-present-term queries, from chunk
-    metadata alone: stored per-chunk ``max_impact`` is an *attained*
-    query-time impact whenever the serving stats still match the impacts'
-    build stats (stats.impact_avgdl == stats.avgdl and k1/b match — the
-    marker incremental ingest drops when generations mix avgdls). Chunks of
-    one term cover disjoint doc ranges, so the k highest chunk maxes
-    identify k distinct docs scoring ≥ the k-th max; any chunk whose max is
-    strictly below that threshold cannot hold a top-k doc and its decode is
-    skipped. ``found`` for a pruned term comes exactly from the lexicon df
-    (single term ⇒ found == df), so the partial found-markers never see the
-    pruned gap. Multi-term queries are never pruned: a doc's score sums
-    contributions across terms, so a low-max chunk can still carry part of
-    a top-k doc's score — and a term shared with any multi-term query is
-    kept whole."""
+def _plan_chunk_prune(
+    reader: IndexReader, per_qid_terms: dict[int, list[str]],
+    per_qid_k: dict[int, int], df_map: dict[str, int],
+    params: BM25Params,
+    widf_by_qid: "dict[int, dict[str, float]] | None" = None,
+) -> tuple[dict, dict, dict]:
+    """Driver-side chunk-level top-k prefilter plan (VERDICT r3 next #4;
+    multi-term extension VERDICT r4 next #3).
+
+    → (whitelist: {term: [kept doc_lo...]},        # drop other chunks
+       found_overrides: {qid: found},              # exact found for dropped
+       partial: {term: [full-decode doc_lo...]})   # rest → doc-id-only
+
+    Sound EXACT pruning from chunk metadata alone, gated on the stored
+    per-chunk ``max_impact`` being an *attained* query-time impact
+    (stats.impact_avgdl == stats.avgdl and k1/b match — the marker
+    incremental ingest drops when generations mix avgdls).
+
+    Single-present-term queries (r4): chunks of one term cover disjoint doc
+    ranges, so the k highest chunk maxes identify k distinct docs scoring ≥
+    the k-th max; chunks strictly below that threshold are DROPPED from the
+    scan and ``found`` comes exactly from the lexicon df.
+
+    Multi-term queries (r5): the WAND pivot inequality
+    (operators/wand.py:_block_max_wand) applied at plan time.
+    θ_q = max over terms t with ≥ k chunks of the k-th highest
+    widf_t·max_impact — each chunk max is attained by a distinct doc whose
+    TOTAL score is at least that contribution (disjunctive OR), so θ_q lower-
+    bounds the true k-th score. A chunk c of term t is prunable when
+    widf_t·max_c + Σ_{t'≠t} widf_t'·rangemax_t'([lo_c, hi_c]) < θ_q·slack:
+    no doc in c can reach the top-k, and (because that upper bound covers
+    the doc's WHOLE score) any doc of c surfacing through other terms is
+    provably outside the top-k too, so its understated score cannot displace
+    a true result. Prunable chunks are NOT dropped — they decode DOC-IDS
+    ONLY (skip the tf/dl varbyte streams + impact math, emit impact 0), so
+    per-query ``found`` (distinct matched docs) stays exact without an
+    override. A term used by several queries keeps the union of their
+    full-decode needs; single-term queries sharing a multi-term's term
+    contribute their r4 kept-set the same way (and need no found override —
+    the doc-id-only markers count every match)."""
     stats = reader.stats
     if stats.get("impact_avgdl") is None \
             or stats.get("impact_avgdl") != stats.get("avgdl"):
-        return {}, {}
+        return {}, {}, {}
     if float(stats.get("k1", -1.0)) != float(params.k1) \
             or float(stats.get("b", -1.0)) != float(params.b):
-        return {}, {}
+        return {}, {}, {}
 
-    term_users: dict[str, list[tuple[int, int]]] = {}
-    blocked: set[str] = set()
+    widf_by_qid = widf_by_qid or {}
+    single_users: dict[str, list[tuple[int, int]]] = {}
+    multi_qids: list[int] = []
+    multi_terms: set[str] = set()
+    must_full: set[str] = set()   # some query needs this term whole
     for qid, terms in per_qid_terms.items():
         if len(terms) == 1:
-            term_users.setdefault(terms[0], []).append((qid, per_qid_k[qid]))
-        else:
-            blocked.update(terms)
-    # fetch chunk metadata only for terms with more chunks than the k they
-    # must serve (n_chunks rode along with the lexicon df lookup) — a term
-    # that can't prune costs nothing extra
+            single_users.setdefault(terms[0], []).append((qid, per_qid_k[qid]))
+        elif terms:
+            multi_terms.update(terms)
+            if widf_by_qid.get(qid):
+                multi_qids.append(qid)
+            else:
+                must_full.update(terms)  # no weights → conservative
+    shared = set(single_users) & multi_terms
+    pure_single = {t: u for t, u in single_users.items()
+                   if t not in multi_terms}
+
+    # ---- single-present-term full-drop (r4 logic) ------------------------
     cand = [
-        t for t in term_users
-        if t not in blocked
+        t for t in pure_single
         # unknown count (term_dfs not called for t) → fetch conservatively
-        and (reader._n_chunks.get(t) is None
-             or reader._n_chunks[t] > max(k for _, k in term_users[t]))
+        if (reader._n_chunks.get(t) is None
+            or reader._n_chunks[t] > max(k for _, k in pure_single[t]))
     ]
-    if not cand:
-        return {}, {}
-    meta = reader.chunk_meta(cand)
     whitelist: dict[str, list[int]] = {}
     overrides: dict[int, int] = {}
+    meta = reader.chunk_meta(cand) if cand else {}
     for t in cand:
         chunks = meta.get(t)
         if not chunks:
             continue
         # the largest k among this term's queries bounds the prune for all
-        k_req = max(k for _, k in term_users[t])
+        k_req = max(k for _, k in pure_single[t])
         if len(chunks) <= k_req:
             continue
-        maxes = sorted((mi for _, mi in chunks), reverse=True)
+        maxes = sorted((mi for _, _, mi in chunks), reverse=True)
         theta = maxes[k_req - 1] * _CHUNK_PRUNE_SLACK
-        kept = [lo for lo, mi in chunks if mi >= theta]
+        kept = [lo for lo, _, mi in chunks if mi >= theta]
         if len(kept) == len(chunks):
             continue
         whitelist[t] = sorted(kept)
-        for qid, _ in term_users[t]:
+        for qid, _ in pure_single[t]:
             overrides[qid] = int(df_map[t])
-    return whitelist, overrides
+
+    # ---- multi-term partial decode (r5) ----------------------------------
+    if not multi_qids and not shared:
+        return whitelist, overrides, {}
+    need = sorted({t for qid in multi_qids for t in per_qid_terms[qid]}
+                  | shared)
+    mmeta = reader.chunk_meta(need)
+    arrs: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for t, chunks in mmeta.items():
+        chunks = sorted(chunks)
+        arrs[t] = (np.array([c[0] for c in chunks], dtype=np.int64),
+                   np.array([c[1] for c in chunks], dtype=np.int64),
+                   np.array([c[2] for c in chunks], dtype=np.float64))
+
+    full_need: dict[str, set[int]] = {}
+    prunable: set[str] = set()
+
+    for qid in multi_qids:
+        terms = per_qid_terms[qid]
+        k = per_qid_k[qid]
+        w = widf_by_qid[qid]
+        if any(t not in arrs for t in terms):
+            must_full.update(terms)
+            continue
+        theta = 0.0
+        for t in terms:
+            mxs = arrs[t][2]
+            if len(mxs) >= k:
+                theta = max(theta,
+                            float(np.partition(mxs, len(mxs) - k)[len(mxs) - k])
+                            * w[t])
+        if theta <= 0.0:
+            must_full.update(terms)
+            continue
+        thr = theta * _CHUNK_PRUNE_SLACK
+        pair_budget_ok = (sum(len(arrs[t][0]) for t in terms) * len(terms)
+                          <= _MULTI_PRUNE_RANGE_BUDGET)
+        for t in terms:
+            los, his, mxs = arrs[t]
+            ub = mxs * w[t]
+            for t2 in terms:
+                if t2 == t:
+                    continue
+                los2, his2, mxs2 = arrs[t2]
+                if not len(mxs2):
+                    continue
+                if not pair_budget_ok:
+                    ub = ub + w[t2] * float(mxs2.max())
+                    continue
+                contrib = np.zeros(len(los), dtype=np.float64)
+                for i in range(len(los)):
+                    a = int(np.searchsorted(his2, los[i], side="left"))
+                    b = int(np.searchsorted(los2, his[i], side="right"))
+                    if a < b:
+                        contrib[i] = mxs2[a:b].max()
+                ub = ub + w[t2] * contrib
+            keep = ub >= thr
+            full_need.setdefault(t, set()).update(
+                int(lo) for lo in los[keep])
+            if not bool(keep.all()):
+                prunable.add(t)
+
+    # single-term queries sharing a multi-term's term: contribute the r4
+    # kept-set; found needs no override on the partial path (doc-id-only
+    # markers count every matched doc)
+    for t in shared:
+        if t not in arrs:
+            must_full.add(t)
+            continue
+        los, his, mxs = arrs[t]
+        k_req = max(k for _, k in single_users[t])
+        if len(mxs) <= k_req:
+            must_full.add(t)
+            continue
+        theta = float(np.partition(mxs, len(mxs) - k_req)[len(mxs) - k_req]) \
+            * _CHUNK_PRUNE_SLACK
+        keep = mxs >= theta
+        full_need.setdefault(t, set()).update(int(lo) for lo in los[keep])
+        if not bool(keep.all()):
+            prunable.add(t)
+
+    partial: dict[str, list[int]] = {}
+    for t in sorted(prunable - must_full):
+        full = sorted(full_need.get(t, ()))
+        if len(full) < len(arrs[t][0]):
+            partial[t] = full
+    return whitelist, overrides, partial
 
 
-def _decode_score_udf(avgdl: float, params: BM25Params):
-    """mapInPandas: posting-chunk rows → (term, doc_id, impact)."""
+def _decode_score_udf(avgdl: float, params: BM25Params,
+                      with_full_flag: bool = False):
+    """mapInPandas: posting-chunk rows → (term, doc_id, impact).
+
+    With ``with_full_flag`` the input carries a boolean ``full`` column
+    (multi-term chunk prefilter): False rows decode ONLY the doc-id gap
+    stream — the tf/dl varbyte decode and the float impact math are skipped
+    — and emit impact 0. Those rows keep per-query ``found`` exact (every
+    matched doc still appears once) and are provably outside the top-k
+    (see _plan_chunk_prune), so zero impact cannot corrupt ranking."""
     k1_32, b_32 = np.float32(params.k1), np.float32(params.b)
     k1_64, b_64 = float(params.k1), float(params.b)
     avg32, avg64 = np.float32(avgdl), float(avgdl)
@@ -290,24 +417,35 @@ def _decode_score_udf(avgdl: float, params: BM25Params):
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
-        from nextsearch_api_spark.functions.codec import decode_chunk
+        from nextsearch_api_spark.functions.codec import (
+            decode_chunk, varbyte_decode,
+        )
         for pdf in batches:
+            fulls = (pdf["full"].to_numpy() if with_full_flag
+                     else np.ones(len(pdf), dtype=bool))
             terms_out, ids_out, imp_out = [], [], []
-            for term, tf_off, dl_off, blob in zip(
-                pdf["term"], pdf["tf_off"], pdf["dl_off"], pdf["blob"]
+            for full, term, tf_off, dl_off, blob in zip(
+                fulls, pdf["term"], pdf["tf_off"], pdf["dl_off"], pdf["blob"]
             ):
-                doc_ids, tfs, dls = decode_chunk(blob, int(tf_off), int(dl_off))
-                if f32:
-                    tfv = tfs.astype(np.float32)
-                    dlv = dls.astype(np.float32)
-                    imp = (tfv * (k1_32 + one)
-                           / (tfv + k1_32 * (one - b_32 + b_32 * (dlv / avg32))))
-                    imp = imp.astype(np.float32)
+                if not full:
+                    gaps = varbyte_decode(memoryview(blob)[:int(tf_off)])
+                    doc_ids = np.cumsum(gaps).astype(np.int64)
+                    imp = np.zeros(len(doc_ids),
+                                   dtype=np.float32 if f32 else np.float64)
                 else:
-                    tfv = tfs.astype(np.float64)
-                    dlv = dls.astype(np.float64)
-                    imp = (tfv * (k1_64 + 1.0)
-                           / (tfv + k1_64 * (1.0 - b_64 + b_64 * (dlv / avg64))))
+                    doc_ids, tfs, dls = decode_chunk(
+                        blob, int(tf_off), int(dl_off))
+                    if f32:
+                        tfv = tfs.astype(np.float32)
+                        dlv = dls.astype(np.float32)
+                        imp = (tfv * (k1_32 + one)
+                               / (tfv + k1_32 * (one - b_32 + b_32 * (dlv / avg32))))
+                        imp = imp.astype(np.float32)
+                    else:
+                        tfv = tfs.astype(np.float64)
+                        dlv = dls.astype(np.float64)
+                        imp = (tfv * (k1_64 + 1.0)
+                               / (tfv + k1_64 * (1.0 - b_64 + b_64 * (dlv / avg64))))
                 terms_out.append(np.full(len(doc_ids), term, dtype=object))
                 ids_out.append(doc_ids)
                 imp_out.append(imp)
@@ -387,6 +525,7 @@ def batch_search(
     # chunk-level top-k prefilter (driver-side plan over chunk metadata)
     whitelist: dict[str, list[int]] = {}
     found_overrides: dict[int, int] = {}
+    partial: dict[str, list[int]] = {}
     if prune_chunks:
         per_qid_terms: dict[int, list[str]] = {}
         per_qid_k: dict[int, int] = {}
@@ -394,8 +533,11 @@ def batch_search(
             per_qid_k[qid] = k
             if t in idf_map:
                 per_qid_terms.setdefault(qid, []).append(t)
-        whitelist, found_overrides = _plan_chunk_prune(
-            reader, per_qid_terms, per_qid_k, df_map, params)
+        widf_by_qid: dict[int, dict[str, float]] = {}
+        for qid, t, widf, _k in qterm_rows:
+            widf_by_qid.setdefault(qid, {})[t] = widf
+        whitelist, found_overrides, partial = _plan_chunk_prune(
+            reader, per_qid_terms, per_qid_k, df_map, params, widf_by_qid)
 
     # postings scan pruned to query terms (pushed filter → row-group pruning);
     # whitelisted terms additionally restrict to their kept (doc_lo) chunks
@@ -406,10 +548,28 @@ def batch_search(
             cond = cond | ((F.col("term") == t) & F.col("doc_lo").isin(los))
     else:
         cond = F.col("term").isin(present)
-    chunks = reader.postings().where(cond).select(
-        "term", "tf_off", "dl_off", "blob"
-    )
-    decode, out_schema = _decode_score_udf(reader.avgdl, params)
+    sel = ["term", "tf_off", "dl_off", "blob"]
+    if partial:
+        # multi-term prefilter: a literal term → [full-decode doc_lo...]
+        # map; chunks outside their term's list decode doc-ids only. A term
+        # absent from the map (null lookup) decodes fully.
+        pm_args: list = []
+        for t, los in sorted(partial.items()):
+            pm_args.append(F.lit(t))
+            pm_args.append(F.array(*[F.lit(int(lo)).cast("long")
+                                     for lo in los])
+                           if los else F.array(F.lit(-1).cast("long")))
+        pmap = F.create_map(*pm_args)
+        full_col = F.coalesce(
+            F.array_contains(pmap[F.col("term")], F.col("doc_lo")),
+            F.lit(True),
+        )
+        chunks = reader.postings().where(cond).select(
+            *sel, full_col.alias("full"))
+    else:
+        chunks = reader.postings().where(cond).select(*sel)
+    decode, out_schema = _decode_score_udf(reader.avgdl, params,
+                                           with_full_flag=bool(partial))
     impacts = chunks.mapInPandas(decode, schema=out_schema)
 
     # query-term weights as a LITERAL map term → [(qid, widf, k), ...]: a
