@@ -806,7 +806,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         # Arrow tokenize subset, fused after the id exchange), materialized
         # so later stages column-prune what they need (content is only read
         # again by the postings tokenizer) and resume never re-runs the
-        # assignment.
+        # assignment. N/total_len are observed DURING this write (metric
+        # accumulators over the same pass), so the stats stage needs no job
+        # at all and — crucially — no longer waits on the docs rewrite:
+        # stats depends only on ids, which lets the docs stage run
+        # CONCURRENTLY with the postings build (r5, VERDICT r4 next #8 —
+        # the docs rewrite was ~1 s of pure serial critical path at 16
+        # cores, and its tasks now pack into the postings stage's straggler
+        # tail).
+        from pyspark.sql import Observation
+        obs = Observation("ids_stats")
         ids = assign_doc_ids(corpus, cfg.id_partitions).select(
             "doc_id",
             F.substring(
@@ -816,8 +825,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             F.sha2(F.col("content"), 256).alias("content_sha256"),
             "content", "seg",
         )
-        append_doc_len(ids).write.mode("overwrite").parquet(ids_path)
-        return {"rows": _parquet_rows(ids_path)}
+        with_len = append_doc_len(ids).observe(
+            obs,
+            F.sum((F.col("doc_len") > 0).cast("long")).alias("N"),
+            F.sum("doc_len").alias("total_len"),
+        )
+        with_len.write.mode("overwrite").parquet(ids_path)
+        got = obs.get
+        return {"rows": _parquet_rows(ids_path),
+                "N": int(got["N"] or 0), "total_len": int(got["total_len"] or 0)}
 
     runner.run("ids", stage_ids, output=ids_path)
 
@@ -832,35 +848,30 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
 
     def stage_docs() -> dict:
         # content-pruned scan of ids; doc_len > 0 drops zero-token docs,
-        # mirroring the reference (src/ForwardIndex.cpp:152). N/total_len
-        # are observed DURING the write (metric accumulators on the same
-        # pass) and persisted in the manifest entry, so the stats stage
-        # needs no aggregation job of its own.
-        from pyspark.sql import Observation
-        obs = Observation("docs_stats")
+        # mirroring the reference (src/ForwardIndex.cpp:152). Runs in a
+        # SIDE THREAD concurrently with the postings build (see below) —
+        # stats no longer depends on it (observed during the ids write).
         docs = (
             spark.read.parquet(ids_path)
             .where(F.col("doc_len") > 0)
             .select("doc_id", "uid", "repo", "path", "commit", "lang",
                     "doc_len", "content_sha256")
-            .observe(obs, F.count(F.lit(1)).alias("N"),
-                     F.sum("doc_len").alias("total_len"))
         )
         docs.write.mode("overwrite").parquet(paths.docs)
-        got = obs.get
-        return {"rows": int(got["N"]), "N": int(got["N"]),
-                "total_len": int(got["total_len"] or 0)}
-
-    runner.run("docs", stage_docs, output=paths.docs)
+        return {"rows": _parquet_rows(paths.docs)}
 
     def stage_stats() -> dict:
-        dm = runner.metrics.get("docs", {})
-        if "N" in dm and "total_len" in dm:  # observed during the docs write
-            N, total_len = int(dm["N"]), int(dm["total_len"])
-        else:  # docs stage skipped from a pre-observation manifest
-            row = spark.read.parquet(paths.docs).agg(
-                F.count("*").alias("N"), F.sum("doc_len").alias("total_len")
-            ).collect()[0]
+        im = runner.metrics.get("ids", {})
+        if "N" in im and "total_len" in im:  # observed during the ids write
+            N, total_len = int(im["N"]), int(im["total_len"])
+        else:  # ids stage skipped from a pre-observation manifest
+            row = (
+                spark.read.parquet(ids_path)
+                .where(F.col("doc_len") > 0)
+                .agg(F.count("*").alias("N"),
+                     F.sum("doc_len").alias("total_len"))
+                .collect()[0]
+            )
             N, total_len = int(row["N"]), int(row["total_len"] or 0)
         avgdl = float(total_len) / N if N else 0.0
         # impact_avgdl: the avgdl every chunk's stored f32 impacts (max_impact)
@@ -880,6 +891,22 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
 
     with open(paths.stats) as f:
         stats = json.load(f)
+
+    # docs rewrite ∥ postings build: independent stages (docs = column-pruned
+    # ids scan; postings reads ids separately), same SparkSession, separate
+    # thread — the docs tasks fill the postings stage's scheduling gaps and
+    # straggler tails instead of occupying the serial critical path.
+    import threading
+    _docs_err: list[BaseException] = []
+
+    def _docs_job() -> None:
+        try:
+            runner.run("docs", stage_docs, output=paths.docs)
+        except BaseException as e:  # propagate into the build thread
+            _docs_err.append(e)
+
+    docs_thread = threading.Thread(target=_docs_job, name="docs-stage")
+    docs_thread.start()
 
     def stage_postings() -> dict:
         if cfg.postings_mode == "segment":
@@ -912,18 +939,34 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             # the shuffle reads it back, with no parquet encode/decode.
             from pyspark import StorageLevel
             chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+            ok = False
             try:
                 write_postings_sorted(chunks, paths.postings)
+                ok = True
             finally:
-                chunks.unpersist()
+                if not ok:
+                    chunks.unpersist()
+            # hand the still-persisted chunk rows to the lexicon stage: its
+            # aggregation reads the cache instead of re-reading the postings
+            # parquet (write_postings_sorted only repartitions + sorts, so
+            # the rows are identical). Unpersisted after the lexicon runs.
+            _chunks_handoff["df"] = chunks
         else:
             chunks.write.mode("overwrite").parquet(paths.postings)
         return {"rows": _parquet_rows(paths.postings)}
 
-    runner.run("postings", stage_postings, output=paths.postings)
+    _chunks_handoff: dict = {}
+    try:
+        runner.run("postings", stage_postings, output=paths.postings)
+    finally:
+        docs_thread.join()
+    if _docs_err:
+        raise _docs_err[0]
 
     def stage_lexicon() -> dict:
-        postings = spark.read.parquet(paths.postings)
+        cached = _chunks_handoff.get("df")
+        postings = cached if cached is not None \
+            else spark.read.parquet(paths.postings)
         lex = (
             postings.groupBy("term").agg(
                 F.sum("count").cast("long").alias("df"),
@@ -933,13 +976,23 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             )
         )
         # range-partition + sort by term → parquet min/max footer stats give
-        # term-lookup pruning (the reference's barrel/offset seek analog)
-        lp = 64
-        (lex.repartitionByRange(lp, "term").sortWithinPartitions("term")
-            .write.mode("overwrite").parquet(paths.lexicon))
+        # term-lookup pruning (the reference's barrel/offset seek analog).
+        # persist: repartitionByRange double-executes its input for range
+        # sampling, and the input here is the whole postings aggregation
+        lex = lex.persist()
+        try:
+            lp = 64
+            (lex.repartitionByRange(lp, "term").sortWithinPartitions("term")
+                .write.mode("overwrite").parquet(paths.lexicon))
+        finally:
+            lex.unpersist()
         return {"rows": _parquet_rows(paths.lexicon)}
 
-    runner.run("lexicon", stage_lexicon, output=paths.lexicon)
+    try:
+        runner.run("lexicon", stage_lexicon, output=paths.lexicon)
+    finally:
+        if "df" in _chunks_handoff:
+            _chunks_handoff["df"].unpersist()
 
     if cfg.build_suggest:
         def stage_suggest() -> dict:

@@ -72,12 +72,19 @@ class BuildManifest:
 
 
 class StageRunner:
-    """Runs named stages, skipping completed ones on resume."""
+    """Runs named stages, skipping completed ones on resume.
+
+    Thread-compatible: independent stages may run concurrently from
+    separate Python threads (build_index overlaps the docs rewrite with the
+    postings build); manifest mutation + save are serialized by a lock so a
+    record() in one thread can never corrupt the json dump in another."""
 
     def __init__(self, manifest: BuildManifest, base_fingerprint: Any):
+        import threading
         self.manifest = manifest
         self.base = base_fingerprint
         self.metrics: dict[str, dict] = {}
+        self._lock = threading.Lock()
 
     def run(
         self,
@@ -90,7 +97,9 @@ class StageRunner:
         optional metrics dict (e.g. {'rows': n}). Returns True if it ran."""
         fp = _fingerprint([self.base, extra_fp])
         if self.manifest.stage_done(name, fp, output):
-            self.metrics[name] = {**self.manifest.data["stages"][name], "skipped": True}
+            with self._lock:
+                self.metrics[name] = {**self.manifest.data["stages"][name],
+                                      "skipped": True}
             return False
         t0 = time.time()
         info = fn() or {}
@@ -106,6 +115,7 @@ class StageRunner:
         }
         if rows is not None and dt > 0:
             entry["rows_per_sec"] = round(rows / dt, 1)
-        self.manifest.record(name, **entry)
-        self.metrics[name] = entry
+        with self._lock:
+            self.manifest.record(name, **entry)
+            self.metrics[name] = entry
         return True

@@ -412,16 +412,32 @@ def test_media_adapter_seam(spark):
 
 
 def test_media_pil_adapter(spark):
-    """PIL-backed JPEG adapter — skipped in stdlib-only containers."""
-    pytest.importorskip("PIL")
+    """PIL-backed JPEG adapter: with PIL present it registers a jpeg
+    decoder; in a stdlib-only container (this one) it must raise a clean
+    ImportError from the LAZY import — never at module import time — and
+    leave the decoder registry untouched. Both branches are real behavior,
+    so the test runs (not skips) everywhere (VERDICT r4 next #7)."""
     from nextsearch_api_spark.functions.media_codecs import (
         enable_pil, sniff, unregister_image_decoder,
     )
-    enable_pil()
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 8
     try:
-        assert sniff(b"\xff\xd8\xff\xe0" + b"\x00" * 8) == "jpeg"
-    finally:
-        unregister_image_decoder("jpeg")
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if has_pil:
+        enable_pil()
+        try:
+            assert sniff(jpeg_magic) == "jpeg"
+        finally:
+            unregister_image_decoder("jpeg")
+    else:
+        with pytest.raises(ImportError):
+            enable_pil()
+        assert sniff(jpeg_magic) is None  # registry untouched on failure
 
 
 def test_resize_images(spark):
