@@ -336,9 +336,17 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
         qv = [float(x) for x in
               np.random.default_rng(7).standard_normal(dim)]
 
+        from nextsearch_api_spark.operators.similarity import train_ivf_centroids
+
         ops = {
             "minhash_signatures": lambda: minhash_signatures(
                 docs, num_hashes=8).count(),
+            # spherical k-means: 3 fixed Lloyd iterations (tol=0) so the
+            # wall divides into a stable per-iteration cost — r5 replaced
+            # the posexplode (cell,dim) shuffle with zero-shuffle
+            # mapInPandas partials (VERDICT r4 next #6)
+            "train_ivf_3iter": lambda: train_ivf_centroids(
+                emb, n_centroids=16, seed=7, max_iter=3, tol=0.0),
             "lsh_candidate_pairs": lambda: lsh_candidate_pairs(
                 docs, num_hashes=8, rows_per_band=2).count(),
             "emb_near_dup": lambda: embedding_near_dup_pairs(
