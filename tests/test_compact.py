@@ -160,3 +160,62 @@ def test_generation_gc_failed_delete_retried(tmp_path, monkeypatch):
     m3 = flip_generation(root, {}, 3)
     assert not os.path.exists(os.path.join(root, "stale_old"))
     assert "stale_old" not in m3["gc_pending"]
+
+
+def test_backup_restore_roundtrip(spark, tmp_path):
+    """Backup = consistent snapshot of the LIVE generation (resolved through
+    CURRENT.json once); restore = servable index under base names with no
+    pointer — reference scripts/backup_data.cpp analog on the generations
+    layer. Restored index answers queries identically to the source."""
+    import os
+
+    from nextsearch_api_spark.operators.build import build_index
+    from nextsearch_api_spark.operators.query import (
+        IndexReader, QuerySpec, batch_search,
+    )
+    from nextsearch_api_spark.plans.backup import backup_index, restore_index
+    from nextsearch_api_spark.sources.corpus import generate_corpus
+
+    root = str(tmp_path / "idx")
+    build_index(spark, generate_corpus(spark, 120, seed=42), root)
+
+    bdir = str(tmp_path / "bak")
+    man = backup_index(root, bdir)
+    assert {"docs", "postings", "lexicon", "stats"} <= set(man["components"])
+    assert man["source_gen"] == 0
+    assert os.path.exists(os.path.join(bdir, "_backup.json"))
+
+    tgt = str(tmp_path / "restored")
+    restore_index(bdir, tgt)
+    assert not os.path.exists(os.path.join(tgt, "CURRENT.json"))
+
+    specs = [QuerySpec(0, "buffer hotterm", 5), QuerySpec(1, "cache99", 3)]
+    key = lambda r: (r["qid"], r["rank"], r["doc_id"], round(r["score"], 9),
+                     r["found"])
+    a = sorted(key(r) for r in
+               batch_search(IndexReader(spark, root), specs).collect())
+    b = sorted(key(r) for r in
+               batch_search(IndexReader(spark, tgt), specs).collect())
+    assert a == b and a
+
+    # refuse restoring over a non-empty target
+    import pytest
+    with pytest.raises(ValueError, match="not empty"):
+        restore_index(bdir, root)
+    with pytest.raises(ValueError, match="unknown components"):
+        backup_index(root, str(tmp_path / "bak2"), components=["nope"])
+
+    # after a compaction FLIP the backup resolves the live _gN dirs through
+    # CURRENT.json (consistent cut) and the restore serves identically from
+    # base names with no pointer
+    out = compact_postings(spark, root)
+    assert out["swapped"]
+    b2 = str(tmp_path / "bak_g1")
+    man2 = backup_index(root, b2)
+    assert man2["source_gen"] == 1
+    t2 = str(tmp_path / "restored_g1")
+    restore_index(b2, t2)
+    assert not os.path.exists(os.path.join(t2, "CURRENT.json"))
+    c = sorted(key(r) for r in
+               batch_search(IndexReader(spark, t2), specs).collect())
+    assert c == a
