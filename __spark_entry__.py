@@ -277,6 +277,36 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                rows_per_band=1, shingle_n=3)
 
 
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nextsearch_api_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir), text_col="text",
+                               num_hashes=len(_MINHASH_SEEDS),
+                               rows_per_band=1, shingle_n=3)
+
+
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: LSH candidate pairs → transitive
+    connected components (iterative min-label propagation as DataFrame
+    joins) → (doc_id, component = min doc id of the cluster). The DuckDB
+    oracle re-derives the same closure with a recursive CTE."""
+    from nextsearch_api_spark.operators.dedup import connected_components
+
+    return connected_components(_lsh_pairs(spark, sf_dir))
+
+
+def q_near_dup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation output of the dedup family: every doc mapped to its
+    cluster keeper (component min), is_dup marking the rows a training-data
+    pipeline drops."""
+    from nextsearch_api_spark.operators.dedup import (
+        connected_components, near_dup_keepers,
+    )
+
+    comp = connected_components(_lsh_pairs(spark, sf_dir))
+    return near_dup_keepers(_docs(spark, sf_dir), comp)
+
+
 def q_unigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup score for consecutive doc pairs (unigram
     token sets, pairs (i, i+1) for i < 99)."""
@@ -505,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "near_dup_components": q_near_dup_components,
+        "near_dup_keepers": q_near_dup_keepers,
         "unigram_jaccard": q_unigram_jaccard,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -623,6 +655,41 @@ sig AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM sig a JOIN sig b
   ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id"""
+
+    # near-dup component oracle: same signatures + pairs, then the
+    # TRANSITIVE closure as a recursive CTE — component = min(node, min
+    # reachable). Nodes appear iff they have ≥1 candidate edge, matching
+    # connected_components' label seed (edge endpoints only).
+    _pairs_cte = f"""
+seeds(seed) AS (VALUES {_SEED_VALUES_SQL}),
+sig AS (
+  SELECT doc_id, seed,
+         min(cast(('0x' || substr(md5(seed || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+pe AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM sig a JOIN sig b
+    ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id <> b.doc_id),
+reach(src, dst) AS (
+  SELECT src, dst FROM pe
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN pe e ON r.dst = e.src),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst))::BIGINT AS component
+  FROM reach GROUP BY src)"""
+
+    sql["near_dup_components"] = f"""
+WITH RECURSIVE {shingles_cte},
+{_pairs_cte}
+SELECT doc_id, component FROM comp"""
+
+    sql["near_dup_keepers"] = f"""
+WITH RECURSIVE {shingles_cte},
+{_pairs_cte}
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id)::BIGINT AS keeper_doc_id,
+       (coalesce(c.component, d.doc_id) <> d.doc_id) AS is_dup
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
 
     # guard-metrics oracle: same shingles + signatures; with rows_per_band=1
     # a band bucket is exactly one (seed, minhash) group, so bucket sizes

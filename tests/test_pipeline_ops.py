@@ -573,3 +573,69 @@ def test_trained_ivf_matches_numpy_twin(spark):
                                      tol=0.0)
     assert np.allclose(C_spark, C_np, atol=1e-9)
     assert np.allclose(np.linalg.norm(C_spark, axis=1), 1.0)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Iterative min-label propagation == a driver-side union-find on
+    randomized pair graphs (chains force multi-round convergence; isolated
+    edges, cliques and a long path all covered)."""
+    import random
+
+    from nextsearch_api_spark.operators.dedup import (
+        connected_components, near_dup_keepers,
+    )
+
+    rng = random.Random(42)
+    pairs = []
+    # a long chain (diameter 12 — exercises convergence over many rounds)
+    chain = list(range(100, 113))
+    pairs += list(zip(chain, chain[1:]))
+    # a clique
+    for i in range(200, 205):
+        for j in range(i + 1, 205):
+            pairs.append((i, j))
+    # random sparse edges
+    for _ in range(60):
+        a, b = rng.sample(range(300, 400), 2)
+        pairs.append((a, b))
+
+    def union_find(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for n in list(parent):
+            comp[n] = find(n)
+        # canonicalize to the true min of each component
+        groups = {}
+        for n, c in comp.items():
+            groups.setdefault(c, []).append(n)
+        out = {}
+        for c, ns in groups.items():
+            m = min(ns)
+            for n in ns:
+                out[n] = m
+        return out
+
+    exp = union_find(pairs)
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == exp
+
+    # keepers: clustered docs point at the min; unclustered keep themselves
+    docs = spark.range(95, 130).select(F.col("id").alias("doc_id"))
+    comp = connected_components(df)
+    keep = {r["doc_id"]: (r["keeper_doc_id"], r["is_dup"])
+            for r in near_dup_keepers(docs, comp).collect()}
+    assert keep[100] == (100, False)       # chain min keeps itself
+    assert keep[112] == (100, True)        # chain tail points at the min
+    assert keep[95] == (95, False)         # never paired → keeper of itself
