@@ -335,6 +335,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir), text_col="text")
 
 
+# ------------------------------------------------------------- curation --
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: salted-md5 bucket assignment —
+    reproducible, partition-independent, growth-stable (existing docs never
+    migrate splits as the corpus grows)."""
+    from nextsearch_api_spark.operators.curation import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (LLM training-batch prep):
+    per-shard order-dependent fold, oracled by a recursive CTE walking the
+    same doc order."""
+    from nextsearch_api_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=_PACK_BUDGET,
+                          n_shards=_PACK_SHARDS)
+
+
 # ------------------------------------------------------- text analytics --
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "near_dup_components": q_near_dup_components,
         "near_dup_keepers": q_near_dup_keepers,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
         "unigram_jaccard": q_unigram_jaccard,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -712,6 +739,43 @@ SELECT dc.docs_total,
        (dc.docs_total - ws.with_sh)::BIGINT AS docs_without_shingles,
        bc.buckets_total, bc.dropped_buckets, bc.dropped_band_rows
 FROM dc, ws, bc"""
+
+    # hash_split oracle: same salted-md5 bucket + cumulative boundaries
+    # (train 0.9 / val 0.05 / test 0.05 → 900000 / 950000 of 1e6)
+    sql["hash_split"] = """
+SELECT doc_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             cast(('0x' || substr(md5('split:' || doc_id), 1, 15)) AS BIGINT)
+             % 1000000 AS b
+      FROM documents)"""
+
+    # pack_sequences oracle: the greedy fold re-derived as a RECURSIVE CTE
+    # walking each shard in doc-id order (row_number chain) with the same
+    # rule — new sequence iff the running offset is non-zero and would
+    # overflow the budget; oversized docs occupy a sequence alone
+    sql["pack_sequences"] = f"""
+WITH RECURSIVE counts AS (
+  SELECT (doc_id % {_PACK_SHARDS})::INT AS shard, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+walk(shard, rn, doc_id, n_tokens, seq_id, off) AS (
+  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT, 0::BIGINT
+  FROM counts WHERE rn = 1
+  UNION ALL
+  SELECT c.shard, c.rn, c.doc_id, c.n_tokens,
+         CASE WHEN w.off + w.n_tokens > 0
+                   AND w.off + w.n_tokens + c.n_tokens > {_PACK_BUDGET}
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.off + w.n_tokens > 0
+                   AND w.off + w.n_tokens + c.n_tokens > {_PACK_BUDGET}
+              THEN 0 ELSE w.off + w.n_tokens END
+  FROM walk w JOIN counts c ON c.shard = w.shard AND c.rn = w.rn + 1)
+SELECT shard, doc_id, n_tokens, seq_id, off AS offset FROM walk"""
 
     sql["unigram_jaccard"] = f"""
 WITH {_D_TOKS},

@@ -1,0 +1,114 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+dataset splitting and token-budget sequence packing.
+
+Both are order-of-evaluation hazards in naive implementations (a split that
+depends on partitioning silently reshuffles examples between train and val
+across runs; a packer that depends on task scheduling produces different
+batches per run). These versions are bit-deterministic functions of the
+data alone: split assignment is a salted hash of the doc id, packing is a
+greedy fold in doc-id order within hash shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ws_tokens(text_col: str):
+    """Whitespace token count — same definition as textstats.token_counts."""
+    return F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+
+
+def hash_split(df: DataFrame, weights: "dict[str, float] | None" = None,
+               salt: str = "split", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment → (doc_id, split).
+
+    The bucket is ``md5(salt:doc_id)``'s leading 60 bits mod 1e6 — a pure
+    function of (salt, id), independent of partitioning, row order, cluster
+    size, or Spark version, so the split is REPRODUCIBLE and docs never
+    migrate between splits when the corpus grows (new docs hash into splits
+    at the target rates; existing assignments never change — the property
+    ``randomSplit`` does not have). ``weights`` is an ordered name→weight
+    mapping; boundaries are cumulative weight fractions of 1e6."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    total = float(sum(weights.values()))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = bucket < int(cum * 1_000_000)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    split = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.select(F.col(id_col).alias("doc_id"), split.alias("split"))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 512, n_shards: int = 8,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Greedy token-budget sequence packing →
+    (shard, doc_id, n_tokens, seq_id, offset).
+
+    The LLM-training step that turns variable-length documents into
+    fixed-budget training sequences: within a shard, docs are visited in
+    ascending doc-id order and appended to the current sequence; a doc that
+    would overflow ``budget`` starts the next sequence (offset 0); a doc
+    larger than the whole budget occupies a sequence alone. seq_id is
+    shard-local; (shard, seq_id) is the global sequence key.
+
+    Scale shape: packing is inherently an ORDER-DEPENDENT fold, so the
+    parallelism unit is the shard (doc_id % n_shards — deterministic,
+    balanced for dense ids): one applyInPandas group per shard, O(|shard|)
+    each, no cross-shard coordination. Size n_shards to the cluster
+    (e.g. 4× executors); the fold itself is a trivial per-row pass, so
+    shards of tens of millions of docs are driver-free and memory-light
+    (three scalar columns per row). Token counts are whitespace tokens
+    (textstats.token_counts ``ws_tokens``) — swap in a real tokenizer's
+    counts by passing a pre-counted frame through ``pack_counted``."""
+    counts = docs.select(
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        _ws_tokens(text_col).alias("n_tokens"),
+    )
+    return pack_counted(counts, budget)
+
+
+def pack_counted(counts: DataFrame, budget: int = 512) -> DataFrame:
+    """Pack a pre-counted (shard, doc_id, n_tokens) frame (see
+    pack_sequences; use this directly to pack by a real tokenizer's
+    counts)."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    budget = int(budget)
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, cur = 0, 0
+        for n in pdf["n_tokens"].astype("int64"):
+            if cur > 0 and cur + n > budget:
+                seq += 1
+                cur = 0
+            seq_ids.append(seq)
+            offsets.append(cur)
+            cur += int(n)
+        pdf["seq_id"] = seq_ids
+        pdf["offset"] = offsets
+        return pdf
+
+    return counts.groupBy("shard").applyInPandas(
+        pack, "shard int, doc_id long, n_tokens long, seq_id long, offset long"
+    )

@@ -639,3 +639,79 @@ def test_connected_components_matches_union_find(spark):
     assert keep[100] == (100, False)       # chain min keeps itself
     assert keep[112] == (100, True)        # chain tail points at the min
     assert keep[95] == (95, False)         # never paired → keeper of itself
+
+
+def test_hash_split_deterministic_and_growth_stable(spark):
+    """hash_split: pure function of (salt, id) — identical across
+    partitionings, rates near the weights, and GROWTH-STABLE (a doc's split
+    never changes when the corpus grows — the property randomSplit lacks)."""
+    from nextsearch_api_spark.operators.curation import hash_split
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"),
+                                    F.lit("x").alias("text"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs.repartition(13)).collect()}
+    assert a == b
+    from collections import Counter
+    rates = Counter(a.values())
+    assert 0.85 < rates["train"] / 2000 < 0.95
+    assert 0.02 < rates["val"] / 2000 < 0.08
+
+    # growth: first 500 docs keep their assignment inside the 2000-doc run
+    small = {r["doc_id"]: r["split"]
+             for r in hash_split(docs.where("doc_id < 500")).collect()}
+    assert all(a[k] == v for k, v in small.items())
+
+    # different salt → different (still deterministic) assignment
+    c = {r["doc_id"]: r["split"]
+         for r in hash_split(docs, salt="other").collect()}
+    assert c != a
+
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(docs, weights={"a": 0.0})
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """pack_sequences == the greedy reference fold; budget respected except
+    oversized single docs (alone at offset 0); deterministic across input
+    partitionings; sequences contiguous per shard."""
+    import random
+
+    from nextsearch_api_spark.operators.curation import pack_counted
+
+    rng = random.Random(9)
+    rows = [(i % 4, i, rng.choice([3, 10, 40, 120, 700]))
+            for i in range(400)]  # 700 > budget → oversized case included
+    counts = spark.createDataFrame(rows, "shard int, doc_id long, n_tokens long")
+    budget = 512
+    got = {(r["shard"], r["doc_id"]): (r["seq_id"], r["offset"])
+           for r in pack_counted(counts, budget).collect()}
+    got2 = {(r["shard"], r["doc_id"]): (r["seq_id"], r["offset"])
+            for r in pack_counted(counts.repartition(7), budget).collect()}
+    assert got == got2
+
+    # reference fold per shard
+    by_shard = {}
+    for s, d, n in rows:
+        by_shard.setdefault(s, []).append((d, n))
+    exp = {}
+    for s, lst in by_shard.items():
+        seq = cur = 0
+        for d, n in sorted(lst):
+            if cur > 0 and cur + n > budget:
+                seq += 1
+                cur = 0
+            exp[(s, d)] = (seq, cur)
+            cur += n
+    assert got == exp
+
+    # invariants: inside-budget rows fit; oversized rows sit alone at 0
+    n_of = {(s, d): n for s, d, n in rows}
+    for (s, d), (seq, off) in got.items():
+        n = n_of[(s, d)]
+        if n <= budget:
+            assert off + n <= budget
+        else:
+            assert off == 0
