@@ -425,6 +425,21 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     seed=42, tau=0.3)
 
 
+def q_emb_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-modality cluster resolution: embedding near-dup pairs →
+    transitive components → (vec_id, component) — the same
+    connected-components operator closing the embedding dedup loop."""
+    from nextsearch_api_spark.operators.dedup import connected_components
+    from nextsearch_api_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    pairs = embedding_near_dup_pairs(_emb(spark, sf_dir), n_planes=8,
+                                     seed=42, tau=0.3)
+    return connected_components(pairs, id_a="vec_a", id_b="vec_b").select(
+        F.col("doc_id").alias("vec_id"), "component")
+
+
 def q_lsh_guard_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Guard-audit of the MinHash-LSH silent caps (no-silent-caps rule):
     docs that produced no shingles and buckets dropped by max_bucket,
@@ -575,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_components": q_emb_near_dup_components,
         "lsh_guard_metrics": q_lsh_guard_metrics,
         "near_dup_guard_metrics": q_near_dup_guard_metrics,
         "cosine_topk": q_cosine_topk,
@@ -926,6 +942,36 @@ FROM buck a JOIN buck b
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3"""
+
+    # emb_near_dup_components oracle: the same inlined-planes pair graph,
+    # symmetrized, closed transitively by a recursive CTE; component =
+    # min(node, min reachable) — identical construction to
+    # near_dup_components on the text modality
+    sql["emb_near_dup_components"] = f"""
+WITH RECURSIVE planes(pid, pv) AS (VALUES
+    {plane_rows}),
+vecs AS (SELECT vec_id,
+                list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         FROM embeddings),
+buck AS (
+  SELECT vec_id, v,
+         sum(CASE WHEN list_dot_product(v, pv) > 0
+                  THEN 1 << pid ELSE 0 END)::INT AS bucket
+  FROM vecs CROSS JOIN planes GROUP BY vec_id, v),
+p0 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM buck a JOIN buck b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3),
+pe AS (SELECT src, dst FROM p0 UNION SELECT dst, src FROM p0),
+reach(src, dst) AS (
+  SELECT src, dst FROM pe
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN pe e ON r.dst = e.src)
+SELECT src AS vec_id, least(src, min(dst))::BIGINT AS component
+FROM reach GROUP BY src"""
 
     # near-dup guard-metrics oracle: same inlined planes; bucket sizes +
     # zero-norm counts (dot(v,v)=0 ⇔ sqrt-norm=0 — squares can't cancel)
