@@ -539,6 +539,46 @@ def q_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ streaming --
 
+def q_user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming session-window operator
+    (streaming/ingest.py::stream_user_sessions): classic gaps-and-islands —
+    a session breaks where the gap to the previous event of the same user
+    exceeds 30 min; session id = running count of breaks. Gives the
+    streaming operator an oracle-checked counterpart (events_hourly plays
+    the same role for the windowed rollup);
+    tests/test_streaming.py::test_sessions_stream_equals_batch_twin proves
+    the streaming operator emits exactly these sessions once the watermark
+    closes them."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    def _epoch(c):  # events.ts is TIMESTAMP_NTZ; route via LTZ (UTC session)
+        return c.cast("timestamp_ltz").cast("long")
+
+    gap_brk = (
+        F.when(F.lag("ts").over(w).isNull(), F.lit(0))
+        .when(_epoch(F.col("ts")) - _epoch(F.lag("ts").over(w)) > 1800,
+              F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sess = (
+        ev.withColumn("brk", gap_brk)
+        .withColumn("sess_id", F.sum("brk").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n", "sum_value")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate (batch form of the streaming rollup)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -596,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "label_centroid_norm": q_label_centroid_norm,
         "events_hourly": q_events_hourly,
+        "user_sessions_batch": q_user_sessions_batch,
     }
 
 
@@ -1131,6 +1172,28 @@ WITH e AS (
 cent AS (SELECT label, dim, avg(v) AS c FROM e GROUP BY 1, 2)
 SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
 FROM cent GROUP BY 1"""
+
+    # gaps-and-islands twin of the Spark window construction; (ts, event_id)
+    # is the deterministic order key on both sides
+    sql["user_sessions_batch"] = """
+WITH brk AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM brk)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sess_id"""
 
     sql["events_hourly"] = """
 SELECT event_type,

@@ -284,3 +284,74 @@ def test_stream_user_sessions_late_event_within_watermark(spark, tmp_path):
         if expected in got:
             break
     assert expected in got, got
+
+
+def test_sessions_stream_equals_batch_twin(spark, tmp_path):
+    """The stateful streaming session operator must emit EXACTLY the
+    sessions the batch gaps-and-islands twin (entry `user_sessions_batch`)
+    derives from the same events, once the watermark has closed everything —
+    the stream/batch consistency bar events_hourly already meets for
+    rollups. A far-future sentinel event from a dummy user advances the
+    watermark past every real trailing session's timeout."""
+    import os
+
+    import pandas as pd
+
+    import __spark_entry__ as em
+    from nextsearch_api_spark.streaming.ingest import stream_user_sessions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = pd.Timestamp("2024-03-01")
+    cols = ("event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+    rng_rows = []
+    eid = 0
+    # 3 users with multi-session histories (gaps straddling 30 min)
+    for uid, minutes in [(1, [0, 10, 20, 70, 75, 200]),
+                         (2, [5, 50, 95, 140]),     # exactly 45-min gaps
+                         (3, [0, 29, 58, 120])]:    # 29-min gaps chain
+        for m in minutes:
+            eid += 1
+            rng_rows.append((eid, (base + pd.Timedelta(minutes=m)).to_pydatetime(),
+                             uid, "click", float(uid), "{}"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    real = spark.createDataFrame(rng_rows, cols)
+    real.coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    # stream the same events + a sentinel that closes all trailing sessions
+    src = str(tmp_path / "incoming")
+    os.makedirs(src, exist_ok=True)
+    real.coalesce(1).write.mode("append").parquet(src)
+    sentinel = [(9999, (base + pd.Timedelta(days=30)).to_pydatetime(),
+                 999, "click", 0.0, "{}")]
+    out, ckpt = str(tmp_path / "sessions"), str(tmp_path / "ckpt")
+
+    def run_trigger():
+        q = stream_user_sessions(spark, src, out, ckpt, gap_s=1800,
+                                 watermark="1 minute")
+        q.awaitTermination(120)
+
+    run_trigger()
+    spark.createDataFrame(sentinel, cols).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n"],
+         round(r["sum_value"], 6))
+        for r in em.q_user_sessions_batch(spark, sf_dir).collect()
+    }
+    got = set()
+    for _ in range(4):  # timeouts may need extra no-data micro-batches
+        run_trigger()
+        got = {
+            (r["user_id"],
+             r["session_start"].strftime("%Y-%m-%d %H:%M:%S"),
+             r["session_end"].strftime("%Y-%m-%d %H:%M:%S"),
+             r["n"], round(r["sum_value"], 6))
+            for r in spark.read.parquet(out).collect()
+            if r["user_id"] != 999
+        }
+        if got == expected:
+            break
+    assert got == expected
