@@ -305,3 +305,91 @@ def test_multi_term_prefilter_randomized_parity(spark, skewed_index):
     ra = sorted(key(r) for r in a.collect())
     rb = sorted(key(r) for r in b.collect())
     assert ra == rb and ra
+
+
+def test_multi_prune_planner_soundness_randomized():
+    """Pure-planner property test (no Spark): on 60 randomized synthetic
+    posting layouts, every chunk the multi-term planner marks prunable
+    (absent from its term's full-decode list) contains NO doc whose TRUE
+    total score reaches any using query's true k-th score — the invariant
+    that makes doc-id-only decode exact. Chunk maxes are attained by
+    construction (derived from the synthetic postings), mirroring the
+    impact_avgdl gate."""
+    import random
+
+    from nextsearch_api_spark.config import BM25Params
+    from nextsearch_api_spark.operators.query import _plan_chunk_prune
+
+    params = BM25Params()
+
+    class _Reader:
+        def __init__(self, meta):
+            self.stats = {"impact_avgdl": 1.0, "avgdl": 1.0,
+                          "k1": params.k1, "b": params.b}
+            self._meta = meta
+            self._n_chunks = {t: len(c) for t, c in meta.items()}
+
+        def chunk_meta(self, terms):
+            return {t: self._meta[t] for t in terms if t in self._meta}
+
+    rng = random.Random(20240817)
+    for trial in range(60):
+        n_docs = rng.randint(60, 240)
+        terms = [f"t{i}" for i in range(rng.randint(2, 4))]
+        imp = {}      # term -> {doc: impact}
+        meta = {}     # term -> [(lo, hi, max_impact)]
+        for t in terms:
+            docs = sorted(rng.sample(range(n_docs),
+                                     rng.randint(20, max(21, n_docs // 2))))
+            # heavy-tailed impacts: mostly small, occasional spikes
+            im = {d: (rng.uniform(2.0, 3.0) if rng.random() < 0.1
+                      else rng.uniform(0.05, 0.6)) for d in docs}
+            imp[t] = im
+            chunks = [docs[i:i + 8] for i in range(0, len(docs), 8)]
+            meta[t] = [(c[0], c[-1], max(im[d] for d in c)) for c in chunks]
+        rd = _Reader(meta)
+        qids, per_qid_terms, per_qid_k, widf = {}, {}, {}, {}
+        df_map = {t: len(imp[t]) for t in terms}
+        for qid in range(rng.randint(1, 4)):
+            qt = rng.sample(terms, rng.randint(1, len(terms)))
+            per_qid_terms[qid] = qt
+            per_qid_k[qid] = rng.choice([1, 2, 3, 5, 10])
+            widf[qid] = {t: rng.uniform(0.05, 2.0) for t in qt}
+        wl, ov, part = _plan_chunk_prune(rd, per_qid_terms, per_qid_k,
+                                         df_map, params, widf)
+
+        def score(d, qid):
+            return sum(widf[qid][t] * imp[t].get(d, 0.0)
+                       for t in per_qid_terms[qid])
+
+        def kth(qid):
+            matched = {d for t in per_qid_terms[qid] for d in imp[t]}
+            ss = sorted((score(d, qid) for d in matched), reverse=True)
+            k = min(per_qid_k[qid], len(ss))
+            return ss[k - 1] if k else float("inf")
+
+        # partial terms: docs living ONLY in pruned chunks must be strictly
+        # below every using query's k-th score
+        for t, full_los in part.items():
+            pruned_docs = {d for lo, hi, _ in meta[t]
+                           if lo not in set(full_los)
+                           for d in imp[t] if lo <= d <= hi}
+            for qid, qt in per_qid_terms.items():
+                if t not in qt or len(qt) < 2 and qid in ov:
+                    continue
+                thr = kth(qid)
+                for d in pruned_docs:
+                    assert score(d, qid) < thr, (
+                        trial, t, d, qid, score(d, qid), thr)
+        # single-term full-drops: same invariant + exact found override
+        for t, kept in wl.items():
+            pruned_docs = {d for lo, hi, _ in meta[t]
+                           if lo not in set(kept)
+                           for d in imp[t] if lo <= d <= hi}
+            for qid, qt in per_qid_terms.items():
+                if qt != [t]:
+                    continue
+                thr = kth(qid)
+                for d in pruned_docs:
+                    assert score(d, qid) < thr
+                assert ov[qid] == df_map[t]
