@@ -48,7 +48,13 @@ def backup_index(index_root: str, backup_dir: str,
     os.makedirs(backup_dir, exist_ok=True)
     copied: dict[str, str] = {}
     for name in wanted:
-        src = getattr(paths, "stats" if name == "stats" else name)
+        # Resolve from the ONE mapping snapshot taken above — NOT through
+        # IndexPaths properties, which re-read CURRENT.json on every access.
+        # A compaction flip between component copies would otherwise yield a
+        # mixed-generation backup (postings gen N+1 + lexicon/stats gen N →
+        # wrong idf/avgdl after restore), the exact hazard the generations
+        # layer exists to prevent (ADVICE r5, high).
+        src = os.path.join(index_root, mapping.get(name, DEFAULT_COMPONENTS[name]))
         dst = os.path.join(backup_dir, DEFAULT_COMPONENTS[name])
         if os.path.isdir(src):
             if os.path.exists(dst):

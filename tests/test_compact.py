@@ -219,3 +219,80 @@ def test_backup_restore_roundtrip(spark, tmp_path):
     c = sorted(key(r) for r in
                batch_search(IndexReader(spark, t2), specs).collect())
     assert c == a
+
+
+def test_backup_consistent_cut_under_concurrent_flip(tmp_path, monkeypatch):
+    """A generation flip that lands BETWEEN component copies must not mix
+    generations in the snapshot (ADVICE r5 high): every component resolves
+    from the one current_mapping() taken at backup start, so the backup is
+    all-gen-1 even though CURRENT.json flips to gen 2 mid-copy."""
+    import json
+    import os
+
+    from nextsearch_api_spark.plans import backup as backup_mod
+    from nextsearch_api_spark.plans.backup import backup_index
+    from nextsearch_api_spark.plans.generations import DEFAULT_COMPONENTS
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    # materialize gen-1 and gen-2 physical layouts with distinguishable
+    # marker files (plus base-name gen-0 dirs: GC is deferred, they linger)
+    for gen in (0, 1, 2):
+        sfx = f"_g{gen}" if gen else ""
+        for name, base in DEFAULT_COMPONENTS.items():
+            if base.endswith(".json"):
+                p = os.path.join(root, base[:-5] + sfx + ".json")
+                with open(p, "w") as f:
+                    json.dump({"gen": gen}, f)
+            else:
+                d = os.path.join(root, base + sfx)
+                os.makedirs(d)
+                with open(os.path.join(d, "MARKER"), "w") as f:
+                    f.write(str(gen))
+
+    def point_at(gen):
+        m = {n: (b[:-5] + f"_g{gen}.json" if b.endswith(".json")
+                 else b + f"_g{gen}")
+             for n, b in DEFAULT_COMPONENTS.items()}
+        m["gen"] = gen
+        with open(os.path.join(root, "CURRENT.json"), "w") as f:
+            json.dump(m, f)
+
+    point_at(1)
+
+    # flip the live pointer to gen 2 as soon as the FIRST component copies
+    real_copytree = backup_mod.shutil.copytree
+    real_copy2 = backup_mod.shutil.copy2
+    flipped = {"done": False}
+
+    def flip_once():
+        if not flipped["done"]:
+            flipped["done"] = True
+            point_at(2)
+
+    def copytree(src, dst, **kw):
+        out = real_copytree(src, dst, **kw)
+        flip_once()
+        return out
+
+    def copy2(src, dst, **kw):
+        out = real_copy2(src, dst, **kw)
+        flip_once()
+        return out
+
+    monkeypatch.setattr(backup_mod.shutil, "copytree", copytree)
+    monkeypatch.setattr(backup_mod.shutil, "copy2", copy2)
+
+    bdir = str(tmp_path / "bak")
+    man = backup_index(root, bdir)
+    assert flipped["done"] and man["source_gen"] == 1
+
+    # every snapshotted component carries the gen-1 marker — no mixing
+    for name, rel in man["components"].items():
+        dst = os.path.join(bdir, rel)
+        if os.path.isdir(dst):
+            with open(os.path.join(dst, "MARKER")) as f:
+                assert f.read() == "1", f"{name} came from the wrong generation"
+        else:
+            with open(dst) as f:
+                assert json.load(f)["gen"] == 1, name
