@@ -196,7 +196,8 @@ def jaccard_pairs(token_sets: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def connected_components(pairs: DataFrame, id_a: str = "doc_a",
                          id_b: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         check_every: int = 1) -> DataFrame:
     """Resolve near-duplicate candidate PAIRS into duplicate CLUSTERS:
     → (doc_id, component) where ``component`` is the smallest doc id
     reachable through the pair graph (the cluster's canonical keeper).
@@ -223,7 +224,46 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     remains the reference for graphs too large for per-round convergence
     counting. Raises after ``max_iter`` non-converged rounds rather than
     returning partial components.
+
+    ``check_every`` amortizes the exact per-round convergence count for huge
+    graphs: the fixed point is detected at most ``check_every - 1`` rounds
+    late (the update is deterministic and monotone — one round with zero
+    changed labels IS the fixed point, so a later check is still exact).
+
+    Memory discipline (ADVICE r5): each superseded round's checkpointed
+    label blocks are explicitly unpersisted once the next round has
+    materialized and its convergence check (which joins the old labels) has
+    run — storage high-water is O(|edges| + 2·|nodes|) blocks, not
+    O(rounds·|nodes|). Caveat: ``localCheckpoint`` truncates lineage into
+    executor-local blocks, so an executor loss mid-computation is
+    unrecoverable (the job fails and must be rerun) — the standard trade for
+    iterative algorithms; use reliable ``checkpoint()`` to an HDFS dir if
+    executor churn is expected.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return {int(i) for i in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _checkpoint(df: DataFrame) -> "tuple[DataFrame, set]":
+        # localCheckpoint() gives no handle on the blocks it pins; diff the
+        # session's persistent-RDD ids around the call so the superseded
+        # round can be freed explicitly (single-writer per session — the
+        # only persist between the two snapshots is ours)
+        before = _persistent_ids()
+        out = df.localCheckpoint()
+        return out, _persistent_ids() - before
+
+    def _free(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     e = pairs.select(F.col(id_a).cast("long").alias("src"),
                      F.col(id_b).cast("long").alias("dst"))
     # localCheckpoint per round truncates the iterative lineage — without it
@@ -231,48 +271,58 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     # labels twice) and plan compilation itself OOMs around round ~15; with
     # it every round plans against a materialized table. The checkpointed
     # blocks live on executors (no driver collect), sized |nodes| rows.
-    edges = e.union(
+    edges, edge_ids = _checkpoint(e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-    labels = (
+    ).distinct())
+    labels, label_ids = _checkpoint(
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src").agg(F.min("label").alias("nbr_label"))
-        )
-        # pointer jumping (path halving): also adopt label(label(node)) —
-        # a label is always a node of the same component, so this is sound
-        # and turns O(diameter) convergence into O(log diameter) (a
-        # 100-long near-dup chain converges in ~8 rounds, not 100)
-        jump = labels.select(F.col("node").alias("jn"),
-                             F.col("label").alias("jl"))
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .join(jump, labels["label"] == jump["jn"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                    F.coalesce(F.col("jl"), F.col("label")),
-                ).alias("label"),
+    try:
+        for rnd in range(1, max_iter + 1):
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src").agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select(F.col("node").alias("doc_id"),
-                                 F.col("label").alias("component"))
+            # pointer jumping (path halving): also adopt label(label(node)) —
+            # a label is always a node of the same component, so this is sound
+            # and turns O(diameter) convergence into O(log diameter) (a
+            # 100-long near-dup chain converges in ~8 rounds, not 100)
+            jump = labels.select(F.col("node").alias("jn"),
+                                 F.col("label").alias("jl"))
+            new_labels, new_ids = _checkpoint(
+                labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+                .join(jump, labels["label"] == jump["jn"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                        F.coalesce(F.col("jl"), F.col("label")),
+                    ).alias("label"),
+                )
+            )
+            check = (rnd % check_every == 0) or rnd == max_iter
+            changed = None
+            if check:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "node")
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+            # the old round is fully superseded: new_labels is materialized
+            # (eager checkpoint) and the convergence join above has run
+            _free(label_ids)
+            labels, label_ids = new_labels, new_ids
+            if check and changed == 0:
+                return labels.select(F.col("node").alias("doc_id"),
+                                     F.col("label").alias("component"))
+    finally:
+        # the result only references the final labels checkpoint; the edge
+        # blocks are dead weight either way
+        _free(edge_ids)
+    _free(label_ids)  # non-converged: nothing is returned, free the labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

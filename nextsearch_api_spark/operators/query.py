@@ -661,21 +661,24 @@ def batch_search(
     if hydrate:
         meta_cols = ["doc_id", "uid", "repo", "path", "commit", "lang"]
         # Bound the metadata side (VERDICT r4 wrong #4): the top-k result is
-        # ≤ Σk rows (driver-known, k clamped ≤ 100), so collect its doc_ids
-        # and push an isin filter into the docs scan — row-group pruning +
-        # an explicit broadcast of the ≤Σk matched rows, never a full-docs
-        # exchange. topk is persisted because it executes twice (the id
-        # job + the final plan); the ≤Σk-row cache is negligible and evicted
-        # LRU. Very large batches (Σk above the literal-filter budget) keep
-        # the plain left join and rely on AQE's size-based broadcast.
+        # ≤ Σk rows (driver-known, k clamped ≤ 100), so materialize it ONCE
+        # on the driver and push an isin filter of its doc_ids into the docs
+        # scan — row-group pruning + an explicit broadcast of the ≤Σk matched
+        # rows, never a full-docs exchange. The collected rows come back as a
+        # local relation (no persist: the r5 `topk.persist()` here was never
+        # unpersisted and leaked one cache entry per hydrated batch_search in
+        # long-lived serving sessions — ADVICE r5). Very large batches (Σk
+        # above the literal-filter budget) keep the plain left join and rely
+        # on AQE's size-based broadcast.
         k_total = sum(clamp_k(qs.k) for qs in queries)
         if k_total <= HYDRATE_PUSHDOWN_MAX_IDS:
-            topk = topk.persist()
-            ids = sorted({r["doc_id"]
-                          for r in topk.select("doc_id").distinct().collect()})
-            docs = (reader.docs().select(*meta_cols)
-                    .where(F.col("doc_id").isin(ids)))
-            topk = topk.join(F.broadcast(docs), "doc_id", "left")
+            rows = topk.collect()  # ≤ Σk rows by construction
+            ids = sorted({r["doc_id"] for r in rows})
+            local = reader.spark.createDataFrame(rows, schema=topk.schema)
+            docs = reader.docs().select(*meta_cols)
+            docs = (docs.where(F.col("doc_id").isin(ids)) if ids
+                    else docs.where(F.lit(False)))
+            topk = local.join(F.broadcast(docs), "doc_id", "left")
         else:
             topk = topk.join(reader.docs().select(*meta_cols), "doc_id", "left")
         topk = topk.select("qid", "rank", "doc_id", "score", "found",

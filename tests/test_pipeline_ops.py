@@ -715,3 +715,40 @@ def test_pack_sequences_greedy_invariants(spark):
             assert off + n <= budget
         else:
             assert off == 0
+
+
+def test_connected_components_frees_round_checkpoints(spark):
+    """ADVICE r5: each CC round localCheckpoints a full labels copy; r5 never
+    freed superseded rounds, so executor storage grew by ~|nodes| blocks per
+    round. Now only the FINAL labels checkpoint (the returned result's data)
+    survives a run; check_every amortizes the convergence count and reaches
+    the identical fixed point."""
+    from nextsearch_api_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+
+    def live():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    base = live()
+    chain = list(range(64))
+    df = spark.createDataFrame(list(zip(chain, chain[1:])),
+                               "doc_a long, doc_b long")
+    comp = connected_components(df)
+    rows = {r["doc_id"]: r["component"] for r in comp.collect()}
+    assert rows == {n: 0 for n in chain}
+    leftover = live() - base
+    # a 64-chain needs ~7 pointer-jumping rounds; the old code pinned
+    # edges + one labels checkpoint per round (~9 RDDs). Now: exactly the
+    # final labels.
+    assert len(leftover) <= 1, f"leaked round checkpoints: {leftover}"
+
+    # amortized convergence checks → same fixed point, still nothing leaked
+    base2 = live()
+    comp3 = connected_components(df, check_every=3)
+    assert {r["doc_id"]: r["component"] for r in comp3.collect()} == rows
+    assert len(live() - base2) <= 1
+
+    import pytest
+    with pytest.raises(ValueError, match="check_every"):
+        connected_components(df, check_every=0)

@@ -393,3 +393,18 @@ def test_multi_prune_planner_soundness_randomized():
                 for d in pruned_docs:
                     assert score(d, qid) < thr
                 assert ov[qid] == df_map[t]
+
+
+def test_hydrate_leaves_no_persisted_rdds(spark, plan_env):
+    """ADVICE r5: the r5 hydrate path persisted topk and never unpersisted
+    it — one leaked cache entry per hydrated batch_search in a long-lived
+    serving session. The bounded tier now materializes the ≤Σk rows as a
+    local relation instead; after a full hydrate round-trip the session must
+    hold ZERO persisted RDDs."""
+    spark.catalog.clearCache()
+    for _ in range(3):  # a leak accumulates; a clean path stays at zero
+        topk = batch_search(plan_env, [QuerySpec(0, "buffer hotterm", 5)],
+                            hydrate=True)
+        rows = topk.collect()
+        assert rows
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
