@@ -313,24 +313,16 @@ class Engine:
         return self._suggester
 
     def _build_suggester(self):
-        import pyarrow.dataset as ds
-
         from nextsearch_api_spark.config import IndexPaths
-        tbl = ds.dataset(
-            IndexPaths(self.index_root).suggest
-        ).to_table(columns=["prefix", "term", "rnk"]).to_pandas()
-        table: dict[str, list[tuple[int, str]]] = {}
-        for p, t, r in zip(tbl["prefix"], tbl["term"], tbl["rnk"]):
-            table.setdefault(p, []).append((int(r), t))
-        from nextsearch_api_spark.config import SUGGEST_MAX_PREFIX_LEN
-        from nextsearch_api_spark.operators.autocomplete import Suggester
-        s = Suggester.__new__(Suggester)
-        s.table = {p: [t for _, t in sorted(v)] for p, v in table.items()}
-        # lexicon df map already in RAM (WandEngine) → exact long-prefix
-        # completion beyond the table's explosion bound
-        s.df_lookup = self.wand._df
-        s.max_prefix_len = SUGGEST_MAX_PREFIX_LEN
-        return s
+        from nextsearch_api_spark.operators.autocomplete import LazySuggester
+
+        # Lazy serving (VERDICT r5 next #1): footers scanned once, lookups
+        # answered by row-group-pruned pyarrow reads + an LRU of hot prefix
+        # buckets — O(#row-groups) driver RAM instead of O(vocab·prefixes).
+        # The lexicon df map already in RAM (WandEngine) gives exact
+        # long-prefix completion beyond the table's explosion bound.
+        return LazySuggester(IndexPaths(self.index_root).suggest,
+                             df_lookup=self.wand._df)
 
     def _hydrate(self, out: dict) -> dict:
         """Join top-k hits with doc metadata (reference hydration,

@@ -15,6 +15,8 @@ servable as a broadcast dict or by Parquet prefix lookup.
 from __future__ import annotations
 
 import re
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -65,9 +67,8 @@ def split_suggest_input(q: str) -> tuple[str, str]:
     return q[: m.start(1)], re.sub(r"[^a-z0-9]", "", m.group(1))
 
 
-class Suggester:
-    """Driver-side serving over the precomputed table (collected once —
-    the table is small: ≤10 rows per prefix).
+class _SuggestServing:
+    """Shared suggest() semantics over a prefix→ranked-terms source.
 
     Prefixes longer than ``max_prefix_len`` (the table's explosion bound)
     fall back to an exact lexicon scan when ``df_lookup`` (term → df) is
@@ -76,16 +77,11 @@ class Suggester:
     would return [] where the reference still completes (VERDICT r1
     missing #5). The scan is O(vocab) but only on this rare path."""
 
-    def __init__(self, suggest_df: DataFrame,
-                 df_lookup: "dict[str, int] | None" = None,
-                 max_prefix_len: int = SUGGEST_MAX_PREFIX_LEN):
-        rows = suggest_df.select("prefix", "term", "rnk").collect()
-        table: dict[str, list[tuple[int, str]]] = {}
-        for r in rows:
-            table.setdefault(r["prefix"], []).append((r["rnk"], r["term"]))
-        self.table = {p: [t for _, t in sorted(v)] for p, v in table.items()}
-        self.df_lookup = df_lookup
-        self.max_prefix_len = max_prefix_len
+    df_lookup: "dict[str, int] | None"
+    max_prefix_len: int
+
+    def _candidates(self, tok: str) -> list[str]:
+        raise NotImplementedError
 
     def suggest(self, q: str, k: int = 5) -> list[str]:
         k = max(SUGGEST_K_MIN, min(int(k), SUGGEST_K_MAX))
@@ -98,5 +94,134 @@ class Suggester:
                 key=lambda t: (-self.df_lookup[t], t),
             )
         else:
-            cands = self.table.get(tok, [])
+            cands = self._candidates(tok)
         return [base + c for c in cands[:k]]
+
+
+class Suggester(_SuggestServing):
+    """Driver-side serving over the precomputed table, collected once into a
+    dict — exact reference parity (the reference holds the whole trie in RAM,
+    api_autocomplete.cpp:89-139). O(table) driver memory: right for small and
+    medium indexes; at web-scale vocabularies use :class:`LazySuggester`."""
+
+    def __init__(self, suggest_df: DataFrame,
+                 df_lookup: "dict[str, int] | None" = None,
+                 max_prefix_len: int = SUGGEST_MAX_PREFIX_LEN):
+        rows = suggest_df.select("prefix", "term", "rnk").collect()
+        table: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:
+            table.setdefault(r["prefix"], []).append((r["rnk"], r["term"]))
+        self.table = {p: [t for _, t in sorted(v)] for p, v in table.items()}
+        self.df_lookup = df_lookup
+        self.max_prefix_len = max_prefix_len
+
+    def _candidates(self, tok: str) -> list[str]:
+        return self.table.get(tok, [])
+
+
+class LazySuggester(_SuggestServing):
+    """Scale-out suggest serving: answer lookups straight from the suggest
+    Parquet via pyarrow row-group pruning instead of collecting the table
+    into driver RAM (VERDICT r5 next #1 — at a 100 TB-corpus vocabulary the
+    collected dict is the one serving structure that grows with corpus size).
+
+    Works on any suggest layout, but is O(1)-ish bytes per lookup when the
+    table is written prefix-range-partitioned + sorted (the build's serving
+    layout): each row group's footer then carries a tight, near-disjoint
+    [min, max] prefix range, so one lookup touches ~1 row group. Mirrors the
+    ``WandEngine`` posting-blob pattern (operators/wand.py:166-291): footers
+    scanned once at open (metadata only, O(#row-groups) driver RAM), hot
+    prefix buckets kept in a bounded LRU, row groups with missing string
+    stats always read rather than silently skipped.
+
+    ``io_counters()`` exposes (lookups, row_groups_read, rows_scanned) so
+    behavior tests can assert boundedness instead of trusting the plan.
+    """
+
+    def __init__(self, suggest_path: str,
+                 df_lookup: "dict[str, int] | None" = None,
+                 max_prefix_len: int = SUGGEST_MAX_PREFIX_LEN,
+                 max_cached_prefixes: int = 4096):
+        import pyarrow.dataset as pds
+
+        self.df_lookup = df_lookup
+        self.max_prefix_len = max_prefix_len
+        self._max_cached = max(1, int(max_cached_prefixes))
+        # (min, max, file, row_group) for every row group with prefix stats;
+        # stats-less row groups (parquet writers omit min/max for very long
+        # binary values) are ALWAYS read — skipping them would silently drop
+        # suggestions (same rule as WandEngine._unranged_files, ADVICE r2)
+        self._ranges: list[tuple[str, str, str, int]] = []
+        self._unranged: list[tuple[str, int]] = []
+        dataset = pds.dataset(suggest_path)
+        self._schema_has = set(dataset.schema.names)
+        for missing in ("prefix", "term", "rnk"):
+            if missing not in self._schema_has:
+                raise ValueError(
+                    f"suggest table at {suggest_path} lacks column "
+                    f"'{missing}'")
+        for frag in dataset.get_fragments():
+            md = frag.metadata
+            for rg in range(md.num_row_groups):
+                st = None
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "prefix":
+                        st = col.statistics
+                        break
+                if st is not None and st.has_min_max:
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        lo = lo.decode("utf-8", "replace")
+                    if isinstance(hi, bytes):
+                        hi = hi.decode("utf-8", "replace")
+                    self._ranges.append((lo, hi, frag.path, rg))
+                else:
+                    self._unranged.append((frag.path, rg))
+        self._ranges.sort()
+        self._files: dict[str, object] = {}  # path → pq.ParquetFile
+        self._cache: "OrderedDict[str, list[str]]" = OrderedDict()
+        self._lock = threading.Lock()
+        self._io = {"lookups": 0, "row_groups_read": 0, "rows_scanned": 0}
+
+    def io_counters(self) -> dict:
+        with self._lock:
+            return dict(self._io)
+
+    def _read_bucket(self, tok: str) -> list[str]:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        hits = [(p, rg) for (lo, hi, p, rg) in self._ranges
+                if lo <= tok <= hi]
+        hits += self._unranged
+        pairs: list[tuple[int, str]] = []
+        scanned = 0
+        for path, rg in hits:
+            pf = self._files.get(path)
+            if pf is None:
+                pf = pq.ParquetFile(path)
+                self._files[path] = pf
+            t = pf.read_row_group(rg, columns=["prefix", "term", "rnk"])
+            scanned += t.num_rows
+            match = t.filter(pc.equal(t.column("prefix"), tok))
+            pairs.extend(zip(match.column("rnk").to_pylist(),
+                             match.column("term").to_pylist()))
+        with self._lock:
+            self._io["row_groups_read"] += len(hits)
+            self._io["rows_scanned"] += scanned
+        return [t for _, t in sorted(pairs)]
+
+    def _candidates(self, tok: str) -> list[str]:
+        with self._lock:
+            self._io["lookups"] += 1
+            if tok in self._cache:
+                self._cache.move_to_end(tok)
+                return self._cache[tok]
+        terms = self._read_bucket(tok)
+        with self._lock:
+            self._cache[tok] = terms
+            self._cache.move_to_end(tok)
+            while len(self._cache) > self._max_cached:
+                self._cache.popitem(last=False)
+        return terms

@@ -998,8 +998,25 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         def stage_suggest() -> dict:
             from nextsearch_api_spark.operators.autocomplete import build_suggest
             lex = spark.read.parquet(paths.lexicon)
-            sug = build_suggest(lex)
-            sug.write.mode("overwrite").parquet(paths.suggest)
+            # Serving layout for LazySuggester: prefix-RANGE partitioning
+            # (a prefix's ≤10 rows land in exactly one file, file ranges
+            # near-disjoint) + sort within partitions + ~1 MiB row groups →
+            # every footer row-group stat is a tight [lo, hi] prefix range,
+            # so one lookup prunes to ~1 row group instead of collecting the
+            # whole table (VERDICT r5 next #1). persist(): repartitionByRange
+            # range-samples its input, which would otherwise re-run the
+            # explode+window twice.
+            sug = build_suggest(lex).persist()
+            try:
+                n = sug.count()
+                parts = max(1, n // 2_000_000 + (1 if n % 2_000_000 else 0))
+                (sug.repartitionByRange(parts, "prefix")
+                    .sortWithinPartitions("prefix", "rnk")
+                    .write.mode("overwrite")
+                    .option("parquet.block.size", 1 << 20)
+                    .parquet(paths.suggest))
+            finally:
+                sug.unpersist()
             return {"rows": _parquet_rows(paths.suggest)}
 
         runner.run("suggest", stage_suggest, output=paths.suggest)

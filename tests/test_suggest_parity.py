@@ -81,3 +81,73 @@ def test_long_prefix_falls_back_to_lexicon_scan(spark):
     assert s2.suggest("supercalifrag", 5) == []
     # short prefixes still use the precomputed table
     assert s.suggest("sup", 5) == ["supercalifornia", "supercalifragilistic", "supper"]
+
+
+def test_lazy_suggester_matches_collected(spark, tiny_index, lex_pdf):
+    """LazySuggester (pyarrow row-group-pruned lookups) must answer exactly
+    like the collected-dict Suggester on every prefix present in the table,
+    on misses, on multiword echo, and on the long-prefix lexicon fallback."""
+    from nextsearch_api_spark.operators.autocomplete import LazySuggester
+
+    root, _ = tiny_index
+    path = IndexPaths(root).suggest
+    dfmap = dict(zip(lex_pdf["term"], lex_pdf["df"].astype(int)))
+    eager = Suggester(spark.read.parquet(path), df_lookup=dfmap)
+    lazy = LazySuggester(path, df_lookup=dfmap)
+
+    prefixes = set(
+        r["prefix"]
+        for r in spark.read.parquet(path).select("prefix").distinct().collect()
+    )
+    for p in sorted(prefixes) + ["zz", "x", "qqqqq"]:
+        assert lazy.suggest(p, 10) == eager.suggest(p, 10), p
+    assert lazy.suggest("find the Buf", 3) == eager.suggest("find the Buf", 3)
+    long_tok = max(dfmap, key=len)
+    if len(long_tok) > lazy.max_prefix_len:
+        assert lazy.suggest(long_tok, 5) == eager.suggest(long_tok, 5)
+
+
+def test_lazy_suggester_reads_bounded_bytes(spark, tmp_path):
+    """VERDICT r5 next #1 'done' criterion: with the serving layout
+    (prefix-range-partitioned, sorted, small row groups) a lookup must read
+    O(1)-ish bytes — a couple of row groups, a small fraction of the table —
+    and a repeated lookup must hit the LRU and read nothing."""
+    from nextsearch_api_spark.operators.autocomplete import (
+        LazySuggester, build_suggest)
+
+    # a synthetic lexicon big enough to span MANY row groups at a 64 KiB
+    # parquet block size: 26*26*30 terms -> ~60k suggest rows
+    terms = [f"{a}{b}term{i:03d}"
+             for a in "abcdefghijklmnopqrstuvwxyz"
+             for b in "abcdefghijklmnopqrstuvwxyz"
+             for i in range(30)]
+    lex = spark.createDataFrame(
+        [(t, (hash(t) % 97) + 1) for t in terms], "term string, df long")
+    sug = build_suggest(lex).persist()
+    out = str(tmp_path / "suggest")
+    (sug.repartitionByRange(4, "prefix").sortWithinPartitions("prefix", "rnk")
+        .write.mode("overwrite").option("parquet.block.size", 64 << 10)
+        .parquet(out))
+    total_rows = sug.count()
+    sug.unpersist()
+
+    lazy = LazySuggester(out)
+    n_rg = len(lazy._ranges) + len(lazy._unranged)
+    assert n_rg >= 8, f"layout produced too few row groups to test ({n_rg})"
+
+    for tok in ["ab", "mz", "zz", "qa"]:
+        before = lazy.io_counters()
+        got = lazy.suggest(tok, 10)
+        after = lazy.io_counters()
+        rg_read = after["row_groups_read"] - before["row_groups_read"]
+        rows = after["rows_scanned"] - before["rows_scanned"]
+        # near-disjoint range layout: a lookup touches ~1 row group (allow a
+        # file-boundary neighbor), never a table scan
+        assert rg_read <= 2 + len(lazy._unranged), (tok, rg_read, n_rg)
+        assert rows <= total_rows // 4, (tok, rows, total_rows)
+        # hot-prefix LRU: the repeat reads zero row groups
+        again = lazy.io_counters()
+        assert lazy.suggest(tok, 10) == got
+        final = lazy.io_counters()
+        assert final["row_groups_read"] == again["row_groups_read"]
+        assert final["rows_scanned"] == again["rows_scanned"]
