@@ -812,12 +812,15 @@ FROM (SELECT doc_id,
     # pack_sequences oracle: the greedy fold re-derived as a RECURSIVE CTE
     # walking each shard in doc-id order (row_number chain) with the same
     # rule — new sequence iff the running offset is non-zero and would
-    # overflow the budget; oversized docs occupy a sequence alone
+    # overflow the budget; oversized docs occupy a sequence alone. Shard =
+    # salted-md5 bucket (the hash_split scheme), matching the operator's
+    # id-scheme-robust sharding.
     sql["pack_sequences"] = f"""
 WITH RECURSIVE counts AS (
-  SELECT (doc_id % {_PACK_SHARDS})::INT AS shard, doc_id,
+  SELECT (cast(('0x' || substr(md5('shard:' || doc_id), 1, 15)) AS BIGINT)
+          % {_PACK_SHARDS})::INT AS shard, doc_id,
          len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
-         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+         row_number() OVER (PARTITION BY cast(('0x' || substr(md5('shard:' || doc_id), 1, 15)) AS BIGINT) % {_PACK_SHARDS}
                             ORDER BY doc_id) AS rn
   FROM documents),
 walk(shard, rn, doc_id, n_tokens, seq_id, off) AS (

@@ -752,3 +752,36 @@ def test_connected_components_frees_round_checkpoints(spark):
     import pytest
     with pytest.raises(ValueError, match="check_every"):
         connected_components(df, check_every=0)
+
+
+def test_pack_sequences_shards_balanced_on_sparse_ids(spark):
+    """VERDICT r5 wrong #3: `doc_id % n_shards` collapses when ids share a
+    residue (e.g. every id a multiple of 8 after near-dup filtering, or
+    sha-derived ids). The salted-md5 shard must stay balanced on exactly
+    that adversarial id scheme, with the packing invariants intact."""
+    from nextsearch_api_spark.operators.curation import pack_sequences
+
+    n_shards = 8
+    # every doc_id ≡ 0 (mod 8): the modulo rule would put ALL docs in shard 0
+    docs = spark.createDataFrame(
+        [(i * 8, "tok " * (3 + i % 7)) for i in range(400)],
+        "doc_id long, text string")
+    out = pack_sequences(docs, budget=16, n_shards=n_shards).collect()
+    assert len(out) == 400
+    sizes = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert len(sizes) == n_shards, f"collapsed shards: {sizes}"
+    assert max(sizes.values()) <= 3 * min(sizes.values()), sizes
+    # greedy invariants survive the new shard rule
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for s, lst in by_shard.items():
+        lst.sort(key=lambda r: r["doc_id"])
+        seq, off = 0, 0
+        for r in lst:
+            if off > 0 and off + r["n_tokens"] > 16:
+                seq, off = seq + 1, 0
+            assert (r["seq_id"], r["offset"]) == (seq, off), (s, r)
+            off += r["n_tokens"]
