@@ -360,6 +360,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_shards=_PACK_SHARDS)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline (VERDICT r5 next #3): corpus →
+    LSH candidate pairs → transitive components → keepers → drop duplicates
+    → deterministic split → per-split sequence packing. Every stage is
+    individually oracled elsewhere; this entry hash-checks the end-to-end
+    composition (cross-operator schema drift, keeper/split interaction)
+    against a DuckDB oracle built from the same per-stage SQL."""
+    from nextsearch_api_spark.operators.curation import (
+        hash_split, pack_sequences,
+    )
+    from nextsearch_api_spark.operators.dedup import (
+        connected_components, near_dup_keepers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    comp = connected_components(_lsh_pairs(spark, sf_dir))
+    keep = near_dup_keepers(docs, comp)
+    kept = docs.join(
+        keep.where(~F.col("is_dup")).select("doc_id"), "doc_id")
+    split = hash_split(kept)
+    # pack each split independently — training sequences must never mix
+    # documents across train/val/test, so the fold's unit is (split, shard)
+    parts = []
+    for name in ("train", "val", "test"):
+        sub = kept.join(split.where(F.col("split") == name).select("doc_id"),
+                        "doc_id")
+        packed = pack_sequences(sub, budget=_PACK_BUDGET,
+                                n_shards=_PACK_SHARDS)
+        parts.append(packed.select(F.lit(name).alias("split"), "shard",
+                                   "doc_id", "n_tokens", "seq_id", "offset"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ------------------------------------------------------- text analytics --
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_keepers": q_near_dup_keepers,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
+        "curation_pipeline": q_curation_pipeline,
         "unigram_jaccard": q_unigram_jaccard,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -836,6 +873,48 @@ walk(shard, rn, doc_id, n_tokens, seq_id, off) AS (
               THEN 0 ELSE w.off + w.n_tokens END
   FROM walk w JOIN counts c ON c.shard = w.shard AND c.rn = w.rn + 1)
 SELECT shard, doc_id, n_tokens, seq_id, off AS offset FROM walk"""
+
+    # curation_pipeline oracle: the per-stage SQL composed end-to-end —
+    # pairs → transitive closure → keepers → keep non-dups → md5 split →
+    # the greedy pack walk partitioned by (split, shard)
+    _shard_b = ("cast(('0x' || substr(md5('shard:' || doc_id), 1, 15)) "
+                f"AS BIGINT) % {_PACK_SHARDS}")
+    sql["curation_pipeline"] = f"""
+WITH RECURSIVE {shingles_cte},
+{_pairs_cte},
+keep AS (
+  SELECT d.doc_id, d.text FROM documents d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  WHERE coalesce(c.component, d.doc_id) = d.doc_id),
+sp AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 900000 THEN 'train'
+              WHEN b < 950000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               cast(('0x' || substr(md5('split:' || doc_id), 1, 15)) AS BIGINT)
+               % 1000000 AS b
+        FROM keep)),
+counts AS (
+  SELECT split, ({_shard_b})::INT AS shard, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY split, {_shard_b}
+                            ORDER BY doc_id) AS rn
+  FROM sp),
+walk(split, shard, rn, doc_id, n_tokens, seq_id, off) AS (
+  SELECT split, shard, rn, doc_id, n_tokens, 0::BIGINT, 0::BIGINT
+  FROM counts WHERE rn = 1
+  UNION ALL
+  SELECT c.split, c.shard, c.rn, c.doc_id, c.n_tokens,
+         CASE WHEN w.off + w.n_tokens > 0
+                   AND w.off + w.n_tokens + c.n_tokens > {_PACK_BUDGET}
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.off + w.n_tokens > 0
+                   AND w.off + w.n_tokens + c.n_tokens > {_PACK_BUDGET}
+              THEN 0 ELSE w.off + w.n_tokens END
+  FROM walk w JOIN counts c
+    ON c.split = w.split AND c.shard = w.shard AND c.rn = w.rn + 1)
+SELECT split, shard, doc_id, n_tokens, seq_id, off AS offset FROM walk"""
 
     sql["unigram_jaccard"] = f"""
 WITH {_D_TOKS},
