@@ -560,6 +560,31 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        [float(x) for x in qv], k=10)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as gate DATA (VERDICT r5 next #8): recall@10 of the LSH
+    and trained-IVF probes vs the brute-force cosine top-10 on the same
+    corpus. Deterministic given the fixed seeds, so it hash-checks — a
+    quantizer-quality regression fails the gate rather than a tolerance-y
+    pytest. Absolute values are low on this corpus by construction: the
+    synthetic embeddings are near-uniform on the sphere, the regime where
+    sub-linear ANN provably cannot beat chance by much; recall on
+    CLUSTERED data (the real workload) is covered by
+    tests/test_pipeline_ops.py::test_trained_ivf_improves_recall."""
+    exact = q_cosine_topk(spark, sf_dir).select("vec_id")
+    out = None
+    for name, fn in (("ivf_trained", q_ann_ivf_trained_topk),
+                     ("lsh", q_ann_lsh_topk)):
+        ann = fn(spark, sf_dir).select("vec_id")
+        part = (
+            ann.join(exact, "vec_id")
+            .agg(F.count("*").cast("long").alias("hits"))
+            .select(F.lit(name).alias("method"), "hits",
+                    F.round(F.col("hits") / 10.0, 6).alias("recall_at_10"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid L2 norm (embedding aggregate pipeline)."""
     emb = _emb(spark, sf_dir)
@@ -664,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1246,6 +1272,19 @@ SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
          row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rank
   FROM sims) t
 WHERE rank <= 10"""
+
+    # ann_recall oracle: the per-method SQL composed — intersection size of
+    # each ANN top-10 with the exact cosine top-10 (DuckDB allows WITH
+    # inside subqueries, so each component query nests verbatim)
+    sql["ann_recall"] = f"""
+SELECT 'ivf_trained' AS method, count(*)::BIGINT AS hits,
+       round(count(*) / 10.0, 6) AS recall_at_10
+FROM ({sql["ann_ivf_trained_topk"]}) a
+JOIN ({sql["cosine_topk"]}) e USING (vec_id)
+UNION ALL
+SELECT 'lsh', count(*)::BIGINT, round(count(*) / 10.0, 6)
+FROM ({sql["ann_lsh_topk"]}) a
+JOIN ({sql["cosine_topk"]}) e USING (vec_id)"""
 
     sql["label_centroid_norm"] = """
 WITH e AS (
