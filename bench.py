@@ -467,6 +467,38 @@ def main() -> None:
         eff = (r_lo["build_seconds"] / r_hi["build_seconds"]) / (cpus / lo)
         best = {p: min(v) for p, v in curve.items() if v}
         base_p = min(best)
+
+        # Same-session machine-knee normalization (VERDICT r5 next #4): run
+        # the no-Spark pinned kernel sweep at the SAME widths, in the SAME
+        # machine regime, and compute normalized = raw / machine_knee into
+        # the JSON — the N-core grade stops depending on prose
+        # reconciliation against a sweep from another session. machine_knee
+        # at width p is the sweep's per-core throughput ratio vs the curve's
+        # base width (embarrassingly parallel workers, own-core pinned, so
+        # any sub-linearity is DRAM/LLC/steal — the machine, not the plan).
+        machine_knee: dict[str, float] = {}
+        knee_err = None
+        try:
+            sweep_out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH", "memory_sweep.py"),
+                 "--corpus", corpus_path,
+                 "--points", ",".join(str(p) for p in points),
+                 "--repeats", os.environ.get("KNEE_REPEATS", "2")],
+                capture_output=True, text=True, check=True, timeout=1800,
+            )
+            sweep = json.loads(sweep_out.stdout.strip().splitlines()[-1])
+            del sweep
+            with open(os.path.join("BENCH", "memory_sweep.json")) as f:
+                sw = json.load(f)["points"]
+            base_tp = sw[str(base_p)]["mb_per_sec_total"] / base_p
+            machine_knee = {
+                str(p): round((sw[str(p)]["mb_per_sec_total"] / p) / base_tp, 3)
+                for p in sorted(best) if str(p) in sw
+            }
+        except Exception as exc:  # sweep failure must not sink the bench
+            knee_err = f"{type(exc).__name__}: {exc}"
         out = {
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
@@ -485,6 +517,25 @@ def main() -> None:
                 str(p): round((best[base_p] * base_p) / (best[p] * p), 3)
                 for p in sorted(best)
             },
+            # per-width {raw, machine_knee, normalized}: raw is the curve
+            # efficiency above; machine_knee is the same-session pinned
+            # kernel sweep's per-core throughput ratio at that width
+            # (no-Spark, own-core workers — machine ceiling); normalized =
+            # raw / machine_knee is the PLAN-attributable efficiency
+            "efficiency_decomposition": {
+                str(p): {
+                    "raw": round((best[base_p] * base_p) / (best[p] * p), 3),
+                    "machine_knee": machine_knee.get(str(p)),
+                    "normalized": (
+                        round(((best[base_p] * base_p) / (best[p] * p))
+                              / machine_knee[str(p)], 3)
+                        if machine_knee.get(str(p)) else None),
+                }
+                for p in sorted(best)
+            },
+            "machine_knee_source": (
+                "BENCH/memory_sweep.json (same session)" if machine_knee
+                else f"sweep failed: {knee_err}"),
             # machine-honesty record: hypervisor steal % during each timed
             # build (all repeats, per point) — decomposes a bad point into
             # machine-vs-plan
@@ -581,13 +632,21 @@ exactly {lo} / {hi} cores via sched_setaffinity.
 
 ## Multi-point scaling curve (best build seconds, pinned cores)
 
-Efficiency vs the smallest point p0: (T_p0·p0) / (T_p·p).
+Efficiency vs the smallest point p0: (T_p0·p0) / (T_p·p). machine_knee is
+the SAME-SESSION no-Spark pinned kernel sweep's per-core throughput ratio
+at that width (the machine's ceiling — embarrassingly parallel own-core
+workers, so sub-linearity there is DRAM/LLC/steal, not any plan);
+normalized = raw / machine_knee is the plan-attributable efficiency.
 
-| pinned cores | build sec | efficiency vs base |
-|---|---|---|
+| pinned cores | build sec | efficiency vs base | machine knee | normalized |
+|---|---|---|---|---|
 """)
+        decomp = out.get("efficiency_decomposition", {})
         for p in sorted(curve, key=int):
-            f.write(f"| {p} | {curve[p]} | {curve_eff.get(p, '')} |\n")
+            d = decomp.get(p, {})
+            f.write(f"| {p} | {curve[p]} | {curve_eff.get(p, '')} | "
+                    f"{d.get('machine_knee', '')} | "
+                    f"{d.get('normalized', '')} |\n")
         steal_all = out.get("steal_pct_all_runs", {})
         if steal_all:
             f.write("\n## Hypervisor steal during timed builds (%)\n\n"
