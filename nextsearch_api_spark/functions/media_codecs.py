@@ -2,17 +2,20 @@
 
 Real decoders for the multimodal pipeline (operators/multimodal.py): the
 container has no PIL/librosa/ffmpeg, but PNG (zlib inflate + filter
-reconstruction per the PNG spec), BMP (BITMAPINFOHEADER 24-bit), PPM (P6)
-and WAV (RIFF PCM via the ``wave`` module) are all decodable from the
-standard library alone. Encoders exist so tests can generate real fixtures
+reconstruction per the PNG spec), BMP (BITMAPINFOHEADER 24-bit), PPM (P6),
+baseline JPEG (Huffman + IDCT per ITU-T T.81, ``functions/jpeg.py``) and
+WAV (RIFF PCM via the ``wave`` module) are all decodable from the standard
+library + numpy alone. Encoders exist so tests can generate real fixtures
 deterministically.
 
-Formats intentionally NOT supported (no stdlib decoder exists): JPEG, MP3,
-MP4 — those raise ValueError and the pipeline surfaces it per its
-``on_unsupported`` policy — unless an OPTIONAL adapter is explicitly
-registered (``register_image_decoder`` / ``enable_pil``). Nothing here
-auto-imports third-party libs; the stdlib-only default stays intact, and
-``extract_features(adapters=[...])`` resolves adapter hooks inside each
+Formats intentionally NOT supported (no stdlib decoder exists): progressive
+/arithmetic JPEG, MP3, MP4 — those raise ValueError and the pipeline
+surfaces it per its ``on_unsupported`` policy — unless an OPTIONAL adapter
+is explicitly registered (``register_image_decoder`` / ``enable_pil``; a
+registered 'jpeg' adapter takes precedence over the baseline decoder, so a
+PIL adapter transparently extends coverage to progressive streams). Nothing
+here auto-imports third-party libs; the stdlib-only default stays intact,
+and ``extract_features(adapters=[...])`` resolves adapter hooks inside each
 executor worker (driver-side registry mutations don't travel to workers).
 """
 
@@ -234,7 +237,7 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
 # Spark worker resolves and runs the hook itself (VERDICT r3 next #8).
 _EXTRA_IMAGE_DECODERS: dict = {}
 
-IMAGE_KINDS = ("png", "bmp", "ppm")
+IMAGE_KINDS = ("png", "bmp", "ppm", "jpeg")
 
 
 def register_image_decoder(kind: str, magic, decode) -> None:
@@ -291,6 +294,8 @@ def sniff(buf: bytes) -> str | None:
         return "bmp"
     if buf[:2] == b"P6":
         return "ppm"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     for kind, (magic, _dec) in _EXTRA_IMAGE_DECODERS.items():
@@ -306,13 +311,19 @@ def is_image_kind(kind: str | None) -> bool:
 def decode_image(buf: bytes) -> np.ndarray:
     """Any supported image format → uint8 (H, W, C)."""
     kind = sniff(buf)
+    # a registered adapter overrides the built-in of the same kind: an
+    # explicit 'jpeg' adapter (e.g. enable_pil) also covers progressive
+    # streams the baseline decoder rejects
+    if kind in _EXTRA_IMAGE_DECODERS:
+        return _EXTRA_IMAGE_DECODERS[kind][1](buf)
     if kind == "png":
         return decode_png(buf)
     if kind == "bmp":
         return decode_bmp(buf)
     if kind == "ppm":
         return decode_ppm(buf)
-    if kind in _EXTRA_IMAGE_DECODERS:
-        return _EXTRA_IMAGE_DECODERS[kind][1](buf)
-    raise ValueError("unsupported image format (stdlib codecs: PNG/BMP/PPM; "
-                     "register adapters for more)")
+    if kind == "jpeg":
+        from nextsearch_api_spark.functions.jpeg import decode_jpeg
+        return decode_jpeg(buf)
+    raise ValueError("unsupported image format (stdlib codecs: "
+                     "PNG/BMP/PPM/baseline JPEG; register adapters for more)")

@@ -437,7 +437,13 @@ def test_media_pil_adapter(spark):
     else:
         with pytest.raises(ImportError):
             enable_pil()
-        assert sniff(jpeg_magic) is None  # registry untouched on failure
+        # registry untouched on failure; the magic still sniffs as jpeg
+        # because the stdlib BASELINE decoder owns the kind by default
+        from nextsearch_api_spark.functions.media_codecs import (
+            _EXTRA_IMAGE_DECODERS,
+        )
+        assert "jpeg" not in _EXTRA_IMAGE_DECODERS
+        assert sniff(jpeg_magic) == "jpeg"
 
 
 def test_resize_images(spark):
@@ -785,3 +791,71 @@ def test_pack_sequences_shards_balanced_on_sparse_ids(spark):
                 seq, off = seq + 1, 0
             assert (r["seq_id"], r["offset"]) == (seq, off), (s, r)
             off += r["n_tokens"]
+
+
+def test_jpeg_codec_roundtrip():
+    """Stdlib baseline JPEG (VERDICT r5 next #7): encode→decode round-trips
+    within normal lossy tolerance on every mode (4:4:4, 4:2:0, grayscale,
+    restart markers, non-block-aligned sizes), a known-pixel solid fixture
+    decodes near-exactly, progressive streams are rejected toward the
+    adapter seam, and sniff/decode_image dispatch jpeg natively."""
+    import struct
+
+    from nextsearch_api_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from nextsearch_api_spark.functions.media_codecs import (
+        decode_image, is_image_kind, sniff,
+    )
+
+    # known-pixel fixture: a solid color is pure DC — near-exact
+    solid = np.full((16, 24, 3), (90, 140, 200), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(solid, quality=90))
+    assert dec.shape == (16, 24, 3)
+    assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 2
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack([(xx * 3) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    for sub in ("444", "420"):
+        buf = encode_jpeg(img, quality=90, subsampling=sub)
+        assert sniff(buf) == "jpeg" and is_image_kind("jpeg")
+        dec = decode_image(buf)  # dispatches through the builtin decoder
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert dec.shape == img.shape and err.mean() < 4.0, (sub, err.max())
+
+    # grayscale + restart markers + odd (non-multiple-of-16) size
+    g = ((yy * 5) % 256).astype(np.uint8)[:45, :53]
+    dg = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dg.shape == (45, 53, 1)
+    assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+    odd = img[:45, :53]
+    dr = decode_jpeg(encode_jpeg(odd, quality=92, subsampling="420",
+                                 restart_interval=2))
+    assert dr.shape == odd.shape
+    assert np.abs(dr.astype(int) - odd.astype(int)).mean() < 4.0
+
+    # progressive (SOF2) → ValueError pointing at the adapter seam
+    prog = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8)
+            + b"\x08\x00\x10\x00\x10\x01")
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(prog)
+
+
+def test_jpeg_extract_features_without_adapter(spark):
+    """The 'done' criterion of VERDICT r5 next #7: extract_features on a
+    JPEG column works in the default environment, no register_image_decoder
+    / adapters needed."""
+    from nextsearch_api_spark.functions.jpeg import encode_jpeg
+    from nextsearch_api_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    buf = encode_jpeg(img, quality=95)
+    media = spark.createDataFrame(
+        [(1, "image", "image/jpeg", 9, 12, None, bytearray(buf))],
+        MEDIA_SCHEMA)
+    out = extract_features(media, dim=16, fake=False).collect()
+    assert len(out) == 1
+    vec = out[0]["feature"]
+    assert vec[0] == 1.0 and vec[1] == 9.0 and vec[2] == 12.0
