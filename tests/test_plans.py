@@ -399,12 +399,13 @@ def test_hydrate_leaves_no_persisted_rdds(spark, plan_env):
     """ADVICE r5: the r5 hydrate path persisted topk and never unpersisted
     it — one leaked cache entry per hydrated batch_search in a long-lived
     serving session. The bounded tier now materializes the ≤Σk rows as a
-    local relation instead; after a full hydrate round-trip the session must
-    hold ZERO persisted RDDs."""
-    spark.catalog.clearCache()
-    for _ in range(3):  # a leak accumulates; a clean path stays at zero
+    local relation instead; hydrate round-trips must not ADD any persisted
+    RDDs (baseline-relative: the shared test session may carry persisted
+    blocks from other tests, e.g. connected_components' final labels)."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(3):  # a leak accumulates; a clean path adds zero
         topk = batch_search(plan_env, [QuerySpec(0, "buffer hotterm", 5)],
                             hydrate=True)
         rows = topk.collect()
         assert rows
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
