@@ -360,6 +360,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_shards=_PACK_SHARDS)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C style): training docs
+    sharing any word 5-gram with the held-out eval slice (doc_id % 20 == 0)
+    are flagged. Broadcast semi-join membership test; counts are distinct
+    n-grams."""
+    from nextsearch_api_spark.operators.curation import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    return ngram_contamination(docs.where(F.col("doc_id") % 20 != 0),
+                               docs.where(F.col("doc_id") % 20 == 0), n=5)
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (dup-line fractions + top-n-gram
+    char coverage, n=2..4) — the standard boilerplate/degenerate-text
+    quality filter."""
+    from nextsearch_api_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-data pipeline (VERDICT r5 next #3): corpus →
     LSH candidate pairs → transitive components → keepers → drop duplicates
@@ -681,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curation_pipeline,
+        "decontaminate": q_decontaminate,
+        "repetition_signals": q_repetition_signals,
         "unigram_jaccard": q_unigram_jaccard,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -941,6 +964,85 @@ walk(split, shard, rn, doc_id, n_tokens, seq_id, off) AS (
   FROM walk w JOIN counts c
     ON c.split = w.split AND c.shard = w.shard AND c.rn = w.rn + 1)
 SELECT split, shard, doc_id, n_tokens, seq_id, off AS offset FROM walk"""
+
+    # decontaminate oracle: distinct word 5-grams, eval slice = doc_id%20==0
+    sql["decontaminate"] = """
+WITH toks AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS t FROM documents),
+g AS (SELECT doc_id,
+       unnest(CASE WHEN len(t) >= 5 THEN
+         list_transform(generate_series(1, len(t) - 4),
+                        i -> array_to_string(t[i:i+4], ' '))
+         ELSE [] END) AS ngram FROM toks),
+tg AS (SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 20 <> 0),
+eg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 20 = 0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS total_ngrams FROM tg GROUP BY 1),
+ov AS (SELECT tg.doc_id, count(*)::BIGINT AS overlap_ngrams
+       FROM tg JOIN eg USING (ngram) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(tot.total_ngrams, 0)::BIGINT AS total_ngrams,
+       coalesce(ov.overlap_ngrams, 0)::BIGINT AS overlap_ngrams,
+       coalesce(ov.overlap_ngrams, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN ov USING (doc_id)"""
+
+    # repetition_signals oracle: same relational construction — line counts
+    # keyed (doc, line), n-gram counts keyed (doc, n, gram), top gram by
+    # (count desc, gram asc), coverage capped at 1.0
+    sql["repetition_signals"] = """
+WITH lines0 AS (SELECT doc_id,
+       unnest(list_filter(string_split(text, chr(10)), x -> x <> ''))
+       AS line FROM documents),
+lcnt AS (SELECT doc_id, line, count(*)::BIGINT AS c FROM lines0 GROUP BY 1, 2),
+lm AS (SELECT doc_id, sum(c)::BIGINT AS lines_total,
+              count(*)::BIGINT AS lines_distinct,
+              sum(length(line) * c)::BIGINT AS line_chars,
+              sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END)::BIGINT
+              AS dup_line_chars
+       FROM lcnt GROUP BY 1),
+toks AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS t FROM documents),
+tch AS (SELECT doc_id, coalesce(len(array_to_string(t, '')), 0)::BIGINT
+               AS token_chars FROM toks),
+grams AS (SELECT doc_id, n,
+       unnest(CASE WHEN len(t) >= n THEN
+         list_transform(generate_series(1, len(t) - n + 1),
+                        i -> array_to_string(t[i:i+n-1], ' '))
+         ELSE [] END) AS gram
+       FROM toks CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns),
+gc AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c
+       FROM grams GROUP BY 1, 2, 3),
+top AS (SELECT doc_id, n, c, gram,
+               row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gram) AS rn FROM gc),
+cov AS (SELECT doc_id, n, (length(replace(gram, ' ', '')) * c)::BIGINT
+               AS covered FROM top WHERE rn = 1)
+SELECT d.doc_id,
+       coalesce(lm.lines_total, 0)::BIGINT AS lines_total,
+       round(CASE WHEN coalesce(lm.lines_total, 0) > 0
+             THEN (lm.lines_total - lm.lines_distinct)::DOUBLE
+                  / lm.lines_total ELSE 0 END, 6) AS dup_line_frac,
+       round(CASE WHEN coalesce(lm.line_chars, 0) > 0
+             THEN lm.dup_line_chars::DOUBLE / lm.line_chars
+             ELSE 0 END, 6) AS dup_line_char_frac,
+       round(least(1.0, CASE WHEN tch.token_chars > 0
+             THEN coalesce(c2.covered, 0)::DOUBLE / tch.token_chars
+             ELSE 0 END), 6) AS top2gram_char_frac,
+       round(least(1.0, CASE WHEN tch.token_chars > 0
+             THEN coalesce(c3.covered, 0)::DOUBLE / tch.token_chars
+             ELSE 0 END), 6) AS top3gram_char_frac,
+       round(least(1.0, CASE WHEN tch.token_chars > 0
+             THEN coalesce(c4.covered, 0)::DOUBLE / tch.token_chars
+             ELSE 0 END), 6) AS top4gram_char_frac
+FROM documents d
+LEFT JOIN lm USING (doc_id)
+LEFT JOIN tch USING (doc_id)
+LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 2) c2 USING (doc_id)
+LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 3) c3 USING (doc_id)
+LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 4) c4 USING (doc_id)"""
 
     sql["unigram_jaccard"] = f"""
 WITH {_D_TOKS},

@@ -93,6 +93,68 @@ def pack_sequences(docs: DataFrame, budget: int = 512, n_shards: int = 8,
     return pack_counted(counts, budget)
 
 
+def _gram_expr(text_col: str, n: int):
+    """Distinct-ready word n-gram array over lowercase alnum tokens (the
+    dedup family's tokenization, so 'overlap' means the same thing across
+    operators)."""
+    toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        "ELSE array() END"
+    )
+
+
+def ngram_contamination(train: DataFrame, eval_docs: DataFrame,
+                        n: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        broadcast_eval: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with an evaluation set → (doc_id, total_ngrams,
+    overlap_ngrams, contaminated). The standard pre-training hygiene step
+    (remove eval contamination from train; the n-gram membership test is
+    the approach published with GPT-3 appendix C / The Pile / FineWeb).
+
+    Scale shape: eval sets are tiny next to a 100 TB train corpus, so the
+    distinct eval n-gram set is broadcast (``broadcast_eval=True``) and the
+    membership test is a map-side broadcast-hash semi-join — the only
+    shuffle is the per-doc overlap count keyed on doc_id. With a large eval
+    side pass ``broadcast_eval=False`` for a plain shuffled join. Counts
+    are DISTINCT n-grams, partition/order independent."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tg = (
+        train.select(F.col(id_col).alias("doc_id"),
+                     F.explode(_gram_expr(text_col, n)).alias("ngram"))
+        .distinct()
+    )
+    eg = (
+        eval_docs.select(F.explode(_gram_expr(text_col, n)).alias("ngram"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    overlap = (
+        tg.join(eg, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("overlap_ngrams"))
+    )
+    totals = tg.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("total_ngrams"))
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def pack_counted(counts: DataFrame, budget: int = 512) -> DataFrame:
     """Pack a pre-counted (shard, doc_id, n_tokens) frame (see
     pack_sequences; use this directly to pack by a real tokenizer's

@@ -100,6 +100,114 @@ def token_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top_ns: "tuple[int, ...]" = (2, 3, 4)) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (Rae et al. 2021
+    §A1.1, the standard quality filter for machine-generated/boilerplate
+    text) → one row per doc:
+
+      lines_total        non-empty lines
+      dup_line_frac      (lines_total - distinct lines) / lines_total
+      dup_line_char_frac chars in lines occurring >1 time / chars in lines
+      top{n}gram_char_frac  for n in ``top_ns``: chars covered by the most
+                         frequent word n-gram (token chars × occurrences)
+                         / total token chars, capped at 1.0 — overlapping
+                         occurrences ('spam spam spam…') would double-count
+                         shared chars, and exact positional coverage isn't
+                         worth a non-relational pass for a filter threshold;
+                         ties break to the lexicographically smallest n-gram
+
+    Scale shape: all metrics are relational — ONE explode+groupBy keyed
+    (doc_id, line) for the line metrics and ONE keyed (doc_id, n, gram)
+    covering every n (the n-grams for all ``top_ns`` are concatenated
+    before the single explode), then per-doc aggregation. No O(doc²)
+    expression work, no Python; skew is bounded by document size."""
+    from nextsearch_api_spark.operators.curation import _gram_expr
+
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ids = docs.select("doc_id")
+
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"filter(split({text_col}, '\\n'), x -> x != '')")).alias("line"),
+    )
+    line_counts = lines.groupBy("doc_id", "line").agg(
+        F.count("*").alias("c"))
+    line_m = line_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("lines_total"),
+        F.count("*").cast("long").alias("lines_distinct"),
+        F.sum(F.length("line") * F.col("c")).cast("long").alias("line_chars"),
+        F.sum(F.when(F.col("c") > 1, F.length("line") * F.col("c"))
+              .otherwise(F.lit(0))).cast("long").alias("dup_line_chars"),
+    )
+
+    gram_arrays = [
+        F.expr(
+            "transform({g}, g -> struct({n} AS n, g AS gram))".format(
+                g=f"__grams_{n}", n=n)
+        )
+        for n in top_ns
+    ]
+    with_grams = docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(filter(split(lower({t}), '[^a-z0-9]+'), x -> x != ''),"
+            " cast(0 as bigint), (acc, x) -> acc + length(x))".format(
+                t=text_col)).alias("token_chars"),
+        *[_gram_expr(text_col, n).alias(f"__grams_{n}") for n in top_ns],
+    )
+    token_chars = with_grams.select("doc_id", "token_chars")
+    grams = with_grams.select(
+        "doc_id", F.explode(F.concat(*gram_arrays)).alias("s")
+    ).select("doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    gram_counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("c"))
+    # most-frequent n-gram with deterministic tie-break: min of
+    # (-count, gram) = max count, then lexicographically smallest gram
+    top = (
+        gram_counts.groupBy("doc_id", "n")
+        .agg(F.min(F.struct((-F.col("c")).alias("negc"),
+                            F.col("gram"))).alias("t"))
+        .select(
+            "doc_id", "n",
+            (-F.col("t.negc")).alias("c"),
+            # covered chars: the n-gram's token chars (spaces excluded)
+            # times its occurrence count
+            (F.length(F.regexp_replace(F.col("t.gram"), " ", ""))
+             * -F.col("t.negc")).cast("long").alias("covered"),
+        )
+    )
+    top_cols = top.groupBy("doc_id").pivot("n", list(top_ns)).agg(
+        F.first("covered"))
+
+    out = (
+        ids.join(line_m, "doc_id", "left")
+        .join(token_chars, "doc_id", "left")
+        .join(top_cols, "doc_id", "left")
+    )
+    lt = F.coalesce("lines_total", F.lit(0))
+    lc = F.coalesce("line_chars", F.lit(0))
+    sel = [
+        F.col("doc_id"),
+        lt.alias("lines_total"),
+        F.round(F.when(lt > 0, (lt - F.coalesce("lines_distinct", F.lit(0)))
+                       / lt).otherwise(F.lit(0.0)), 6).alias("dup_line_frac"),
+        F.round(F.when(lc > 0, F.coalesce("dup_line_chars", F.lit(0)) / lc)
+                .otherwise(F.lit(0.0)), 6).alias("dup_line_char_frac"),
+    ]
+    tc = F.coalesce("token_chars", F.lit(0))
+    for n in top_ns:
+        sel.append(
+            F.round(F.least(
+                F.lit(1.0),
+                F.when(tc > 0, F.coalesce(F.col(str(n)), F.lit(0)) / tc)
+                .otherwise(F.lit(0.0))), 6)
+            .alias(f"top{n}gram_char_frac"))
+    return out.select(*sel)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling polynomial fingerprint over kept tokens

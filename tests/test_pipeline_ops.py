@@ -859,3 +859,70 @@ def test_jpeg_extract_features_without_adapter(spark):
     assert len(out) == 1
     vec = out[0]["feature"]
     assert vec[0] == 1.0 and vec[1] == 9.0 and vec[2] == 12.0
+
+
+def test_ngram_contamination(spark):
+    """Decontamination: a train doc sharing a word n-gram with the eval set
+    is flagged; counts are distinct n-grams; empty/short docs are clean;
+    result is partition-independent."""
+    from nextsearch_api_spark.operators.curation import ngram_contamination
+
+    train = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "totally unrelated content here now ok"),
+        (2, ""),
+        (3, "alpha beta"),                      # shorter than n → no grams
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta yy")], "doc_id long, text string")
+
+    out = {r["doc_id"]: (r["total_ngrams"], r["overlap_ngrams"],
+                         r["contaminated"])
+           for r in ngram_contamination(train, ev, n=3).collect()}
+    assert out[0] == (4, 2, True)   # 'alpha beta gamma', 'beta gamma delta'
+    assert out[1] == (4, 0, False)
+    assert out[2] == (0, 0, False)
+    assert out[3] == (0, 0, False)
+
+    out2 = {r["doc_id"]: (r["total_ngrams"], r["overlap_ngrams"],
+                          r["contaminated"])
+            for r in ngram_contamination(train.repartition(7), ev,
+                                         n=3).collect()}
+    assert out2 == out
+
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_contamination(train, ev, n=0)
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition metrics: dup-line fractions exact on a crafted doc,
+    top-n-gram coverage capped at 1.0 on degenerate repeats, zeros on empty
+    docs, deterministic tie-break."""
+    from nextsearch_api_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame([
+        (0, "a b\na b\nc d\n"),
+        (1, "spam spam spam spam spam"),
+        (2, ""),
+        (3, "w x\ny z"),                        # no repetition at all
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+
+    r0 = out[0]
+    assert r0["lines_total"] == 3
+    assert r0["dup_line_frac"] == round(1 / 3, 6)
+    assert r0["dup_line_char_frac"] == round(6 / 9, 6)
+    # tokens a b a b c d: top 2-gram 'a b'×2 → 4 covered chars of 6
+    assert r0["top2gram_char_frac"] == round(4 / 6, 6)
+    # all 3-grams unique → tie-break to smallest, coverage 3/6
+    assert r0["top3gram_char_frac"] == 0.5
+
+    r1 = out[1]
+    assert r1["dup_line_frac"] == 0.0
+    assert r1["top2gram_char_frac"] == 1.0  # capped (overlapping repeats)
+    assert r1["top4gram_char_frac"] == 1.0
+
+    assert out[2]["lines_total"] == 0
+    assert all(v == 0.0 for k, v in out[2].items() if k.endswith("frac"))
+    r3 = out[3]
+    assert r3["dup_line_frac"] == 0.0 and r3["top2gram_char_frac"] < 1.0
