@@ -381,6 +381,47 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf_dir))
 
 
+# deterministic PII suffix appended to every 10th doc so the redaction gate
+# exercises real matches on the synthetic corpus (same injection in the
+# oracle SQL)
+_PII_SUFFIX = (" reach bob.smith+1@example.co.uk or 10.0.0.1"
+               " or +14155551234 or 212-555-0187")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C4/FineWeb-style regex scrub): emails / IPv4 / phones
+    counted and replaced by typed placeholders. PII strings are injected
+    deterministically into every 10th doc (the synthetic corpus has none)."""
+    from nextsearch_api_spark.operators.curation import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(docs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing resampling (The Pile epochs / DoReMi-weight style):
+    per-lang weights applied as deterministic hash-bucket repeats —
+    upsample de 2.5x, downsample en to 0.4, drop es, default 1.0."""
+    from nextsearch_api_spark.operators.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir),
+                             {"de": 2.5, "en": 0.4, "es": 0.0},
+                             group_col="lang")
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical-LM quality scoring: per-doc cross-entropy /
+    perplexity under an add-1 bigram LM trained on the corpus itself."""
+    from nextsearch_api_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-data pipeline (VERDICT r5 next #3): corpus →
     LSH candidate pairs → transitive components → keepers → drop duplicates
@@ -704,6 +745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "decontaminate": q_decontaminate,
         "repetition_signals": q_repetition_signals,
+        "redact_pii": q_redact_pii,
+        "stratified_sample": q_stratified_sample,
+        "lm_perplexity": q_lm_perplexity,
         "unigram_jaccard": q_unigram_jaccard,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1043,6 +1087,72 @@ LEFT JOIN tch USING (doc_id)
 LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 2) c2 USING (doc_id)
 LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 3) c3 USING (doc_id)
 LEFT JOIN (SELECT doc_id, covered FROM cov WHERE n = 4) c4 USING (doc_id)"""
+
+    # redact_pii oracle: same patterns (Java/RE2 common subset), same
+    # injection, same sequential replacement order; DuckDB needs the 'g'
+    # flag (its regexp_replace is first-match by default, Spark's is global)
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _pii_phone = "\\+\\d{9,15}\\b|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    sql["redact_pii"] = f"""
+WITH src AS (SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN text || '{_PII_SUFFIX}'
+            ELSE text END AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_pii_email}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{_pii_ipv4}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{_pii_phone}'))::BIGINT AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_pii_email}', '<EMAIL>', 'g'),
+           '{_pii_ipv4}', '<IP>', 'g'),
+           '{_pii_phone}', '<PHONE>', 'g') AS clean_text
+FROM src"""
+
+    # stratified_sample oracle: same salted-md5 bucket as hash_split, copies
+    # via generate_series; floor (not cast) on the fractional threshold
+    sql["stratified_sample"] = """
+WITH w AS (SELECT doc_id, lang AS "group",
+       CASE lang WHEN 'de' THEN 2.5 WHEN 'en' THEN 0.4
+                 WHEN 'es' THEN 0.0 ELSE 1.0 END AS wt,
+       cast(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS BIGINT)
+       % 1000000 AS b FROM documents),
+n AS (SELECT doc_id, "group",
+       (floor(wt)::BIGINT
+        + CASE WHEN b < floor((wt % 1.0) * 1000000)::BIGINT
+               THEN 1 ELSE 0 END) AS n_copies FROM w)
+SELECT doc_id, "group", unnest(generate_series(0, n_copies - 1)) AS copy
+FROM n WHERE n_copies > 0"""
+
+    # lm_perplexity oracle: add-1 bigram LM trained on the corpus itself,
+    # same alnum tokenization, same smoothing formula
+    sql["lm_perplexity"] = """
+WITH toks AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS t FROM documents),
+bi AS (SELECT doc_id,
+       unnest(CASE WHEN len(t) >= 2 THEN
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1])
+         ELSE [] END) AS gram FROM toks),
+model_bi AS (SELECT gram, count(*)::BIGINT AS c_vw FROM bi GROUP BY 1),
+model_v AS (SELECT split_part(gram, ' ', 1) AS v, sum(c_vw)::BIGINT AS c_v
+            FROM model_bi GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS V
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+doc_bi AS (SELECT doc_id, gram, count(*)::BIGINT AS m FROM bi GROUP BY 1, 2),
+scored AS (SELECT db.doc_id, sum(db.m)::BIGINT AS n_bigrams,
+       -sum(db.m * log2((coalesce(mb.c_vw, 0) + 1.0)
+                        / (coalesce(mv.c_v, 0) + vocab.V)))
+        / sum(db.m) AS h
+       FROM doc_bi db
+       LEFT JOIN model_bi mb USING (gram)
+       LEFT JOIN model_v mv ON mv.v = split_part(db.gram, ' ', 1)
+       CROSS JOIN vocab GROUP BY 1, vocab.V)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(coalesce(s.h, 0.0), 6) AS cross_entropy,
+       round(pow(2.0, coalesce(s.h, 0.0)), 6) AS perplexity
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
     sql["unigram_jaccard"] = f"""
 WITH {_D_TOKS},

@@ -155,6 +155,84 @@ def ngram_contamination(train: DataFrame, eval_docs: DataFrame,
     )
 
 
+# PII patterns: the Java-regex / RE2 COMMON SUBSET (no lookaround, no
+# backreferences) so the same pattern string is exact in both Spark and any
+# RE2-based oracle. Counts use the raw text per pattern; redaction applies
+# them in this order (a match consumed by an earlier category can't be
+# re-matched by a later one).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{9,15}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Scrub personally identifiable strings before training →
+    (doc_id, n_email, n_ipv4, n_phone, clean_text). Emails, IPv4 addresses
+    and phone numbers (international ``+…`` and US ``ddd-ddd-dddd`` forms)
+    are counted on the raw text and replaced by typed placeholders — the
+    standard redaction pass in public curation pipelines (C4 / FineWeb run
+    exactly this shape of regex scrub).
+
+    Scale shape: pure per-row JVM expressions (``regexp_count`` /
+    ``regexp_replace``) — no shuffle, no Python; whole-stage codegen end to
+    end. Patterns are anchored to the Java/RE2 common subset so an
+    RE2-based oracle (DuckDB) reproduces matches exactly."""
+    cols = [F.col(id_col).alias("doc_id")]
+    clean = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                    .cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(*cols, clean.alias("clean_text"))
+
+
+def stratified_sample(df: DataFrame, weights: "dict[str, float]",
+                      group_col: str = "lang", default_weight: float = 1.0,
+                      salt: str = "mix", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-group resampling for training-mix weighting →
+    (doc_id, group, copy): each doc appears ``floor(w)`` times plus one more
+    when its salted-md5 bucket falls under ``frac(w)`` — i.e. weight 2.5
+    means every doc twice and half the docs (chosen by hash, not chance) a
+    third time; weight 0.2 keeps a fixed fifth. This is how published
+    pipelines apply domain-mixing weights (The Pile's per-set epochs,
+    DoReMi-style reweighting): upsample by integer repeats, fractional part
+    by subsampling.
+
+    Determinism is the point: the kept set and copy counts are a pure
+    function of (salt, doc_id, weight), independent of partitioning, row
+    order, and cluster size — reruns and incremental extensions of the
+    corpus reproduce the same mix (``F.sample`` guarantees none of that).
+    Scale shape: one hash expression + ``explode(sequence(...))`` per row —
+    no shuffle, no Python, output size Σ ceil(w)·|group|."""
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be >= 0")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    w = F.lit(float(default_weight))
+    for name, wt in weights.items():
+        w = F.when(F.col(group_col) == name, F.lit(float(wt))).otherwise(w)
+    # explicit floor on the fractional threshold: double→long CAST truncates
+    # in Spark but rounds in some oracle engines (DuckDB) — floor is exact
+    # and identical in both
+    n_copies = (F.floor(w).cast("long")
+                + F.when(bucket < F.floor((w % 1.0) * 1_000_000).cast("long"),
+                         F.lit(1)).otherwise(F.lit(0)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(group_col).alias("group"),
+                  n_copies.alias("__n"))
+        .where(F.col("__n") > 0)
+        .select("doc_id", "group",
+                F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("copy"))
+    )
+
+
 def pack_counted(counts: DataFrame, budget: int = 512) -> DataFrame:
     """Pack a pre-counted (shard, doc_id, n_tokens) frame (see
     pack_sequences; use this directly to pack by a real tokenizer's

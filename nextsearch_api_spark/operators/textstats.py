@@ -208,6 +208,82 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     return out.select(*sel)
 
 
+def bigram_lm_scores(df: DataFrame, model_docs: "DataFrame | None" = None,
+                     k: float = 1.0, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet / CC-Net-descendant filter:
+    score each document's perplexity under an n-gram model and threshold) →
+    (doc_id, n_bigrams, cross_entropy, perplexity).
+
+    The model is an add-``k`` (Lidstone) smoothed word-bigram LM trained on
+    ``model_docs`` (a reference corpus; defaults to ``df`` itself —
+    self-perplexity, which still separates fluent text from degenerate or
+    boilerplate docs):  P(w|v) = (c(v,w) + k) / (c(v) + k·V), with c(v) the
+    count of v as a bigram prefix and V the model's distinct-token count.
+    cross_entropy is bits per bigram (−mean log2 P), perplexity is
+    2^cross_entropy; docs with fewer than two tokens get (0, 0.0, 1.0).
+    Tokenization is the dedup family's (lowercase alnum runs).
+
+    Scale shape: training is two groupBy counts over exploded bigrams
+    (map-side partial aggregation); scoring joins per-doc bigram
+    multiplicities against the count tables keyed on the bigram/prefix —
+    both sides pre-aggregated so key multiplicity is 1 and hot n-grams
+    ('of the') cost one probe, not a fan-out. V is a 1-row broadcast. No
+    Python, no window, no driver loop."""
+    from nextsearch_api_spark.operators.curation import _gram_expr
+
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    model = model_docs if model_docs is not None else df
+
+    grams = F.explode(_gram_expr(text_col, 2)).alias("gram")
+    model_bi = (
+        model.select(grams)
+        .groupBy("gram").agg(F.count("*").cast("long").alias("c_vw"))
+    )
+    model_prefix = (
+        model_bi.groupBy(F.split("gram", " ").getItem(0).alias("prefix"))
+        .agg(F.sum("c_vw").alias("c_v"))
+    )
+    vocab = (
+        model.select(F.explode(_gram_expr(text_col, 1)).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("vocab_size"))
+    )
+
+    doc_bi = (
+        df.select(F.col(id_col).alias("doc_id"), grams)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    scored = (
+        doc_bi.join(model_bi, "gram", "left")
+        .withColumn("prefix", F.split("gram", " ").getItem(0))
+        .join(model_prefix, "prefix", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "m",
+            (F.log2((F.coalesce("c_vw", F.lit(0)) + F.lit(float(k)))
+                    / (F.coalesce("c_v", F.lit(0))
+                       + F.lit(float(k)) * F.col("vocab_size")))
+             ).alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("m").alias("n_bigrams"),
+             (-F.sum(F.col("m") * F.col("logp")) / F.sum("m")).alias("h"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.coalesce("h", F.lit(0.0)), 6).alias("cross_entropy"),
+            F.round(F.pow(F.lit(2.0), F.coalesce("h", F.lit(0.0))), 6)
+            .alias("perplexity"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive rolling polynomial fingerprint over kept tokens

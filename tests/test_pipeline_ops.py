@@ -926,3 +926,88 @@ def test_repetition_signals(spark):
     assert all(v == 0.0 for k, v in out[2].items() if k.endswith("frac"))
     r3 = out[3]
     assert r3["dup_line_frac"] == 0.0 and r3["top2gram_char_frac"] < 1.0
+
+
+def test_redact_pii(spark):
+    """PII scrub: counts per category on the raw text, placeholders in the
+    clean text, clean docs untouched."""
+    from nextsearch_api_spark.operators.curation import redact_pii
+
+    docs = spark.createDataFrame([
+        (0, "mail a.b@x.org or c%d@y.co.uk, host 10.0.0.1, tel +491234567890"),
+        (1, "call 415-555-0199 x2"),
+        (2, "nothing personal here"),
+        (3, ""),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(docs).collect()}
+
+    r0 = out[0]
+    assert (r0["n_email"], r0["n_ipv4"], r0["n_phone"]) == (2, 1, 1)
+    assert r0["clean_text"] == \
+        "mail <EMAIL> or <EMAIL>, host <IP>, tel <PHONE>"
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (0, 0, 1)
+    assert r1["clean_text"] == "call <PHONE> x2"
+    assert out[2]["clean_text"] == "nothing personal here"
+    assert out[2]["n_email"] == 0
+    assert out[3]["clean_text"] == ""
+
+
+def test_stratified_sample(spark):
+    """Domain-mixing resampling: integer weights repeat exactly, zero weight
+    drops the group, fractional weights keep a deterministic
+    partition-independent subset with copies numbered from 0."""
+    from nextsearch_api_spark.operators.curation import stratified_sample
+
+    rows = [(i, "g2" if i % 3 == 0 else ("g0" if i % 3 == 1 else "ghalf"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, {"g2": 2.0, "g0": 0.0, "ghalf": 0.5}).collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    g2_docs = [i for i in range(300) if i % 3 == 0]
+    assert all(sorted(by_doc[i]) == [0, 1] for i in g2_docs)
+    assert not any(i % 3 == 1 and i in by_doc for i in range(300))
+    half_kept = [i for i in range(300) if i % 3 == 2 and i in by_doc]
+    assert 0 < len(half_kept) < 100
+    assert all(by_doc[i] == [0] for i in half_kept)
+
+    out2 = stratified_sample(
+        df.repartition(13), {"g2": 2.0, "g0": 0.0, "ghalf": 0.5}).collect()
+    assert sorted((r["doc_id"], r["copy"]) for r in out2) == \
+        sorted((r["doc_id"], r["copy"]) for r in out)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="weights"):
+        stratified_sample(df, {"g2": -1.0})
+
+
+def test_bigram_lm_scores(spark):
+    """Add-1 bigram LM: hand-computed cross-entropy on a 2-doc corpus,
+    (0, 0.0, 1.0) for short docs, invalid smoothing rejected."""
+    import math
+    from nextsearch_api_spark.operators.textstats import bigram_lm_scores
+
+    docs = spark.createDataFrame([
+        (0, "a b a b"),
+        (1, "x y"),
+        (2, "solo"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in bigram_lm_scores(docs).collect()}
+
+    # model: c("a b")=2, c("b a")=1, c("x y")=1; prefixes a:2 b:1 x:1; V=5
+    h0 = -(2 * math.log2(3 / 7) + 1 * math.log2(2 / 6)) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["cross_entropy"] == round(h0, 6)
+    assert out[0]["perplexity"] == round(2 ** h0, 6)
+    h1 = -math.log2(2 / 6)
+    assert out[1]["cross_entropy"] == round(h1, 6)
+    assert out[2] == {"doc_id": 2, "n_bigrams": 0,
+                      "cross_entropy": 0.0, "perplexity": 1.0}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="smoothing"):
+        bigram_lm_scores(docs, k=0)
