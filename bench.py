@@ -313,6 +313,7 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         import numpy as np
+        from pyspark.sql import functions as F
 
         from nextsearch_api_spark.operators.dedup import (
             lsh_candidate_pairs, minhash_signatures,
@@ -336,7 +337,13 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
         qv = [float(x) for x in
               np.random.default_rng(7).standard_normal(dim)]
 
+        from nextsearch_api_spark.operators.curation import (
+            ngram_contamination, redact_pii,
+        )
         from nextsearch_api_spark.operators.similarity import train_ivf_centroids
+        from nextsearch_api_spark.operators.textstats import (
+            bigram_lm_scores, repetition_signals,
+        )
 
         ops = {
             "minhash_signatures": lambda: minhash_signatures(
@@ -357,6 +364,16 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
                 media, dim=16, fake=False, on_unsupported="skip").count(),
             "resize_images": lambda: resize_images(
                 media, 16, 16, on_unsupported="skip").count(),
+            # r6 curation additions: LM perplexity (two count aggs + scored
+            # joins), decontamination (broadcast n-gram semi-join), Gopher
+            # repetition metrics (two explode+groupBy passes), PII scrub
+            # (pure codegen regex)
+            "lm_perplexity": lambda: bigram_lm_scores(docs).count(),
+            "decontaminate": lambda: ngram_contamination(
+                docs.where(F.col("doc_id") % 20 != 0),
+                docs.where(F.col("doc_id") % 20 == 0), n=5).count(),
+            "repetition_signals": lambda: repetition_signals(docs).count(),
+            "redact_pii": lambda: redact_pii(docs).count(),
         }
         times: dict[str, float] = {}
         best_steal: dict[str, float] = {}
