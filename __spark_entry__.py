@@ -422,6 +422,56 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED quality/hygiene pipeline over the r6 operators (the
+    FineWeb-style front half that runs BEFORE dedup/split/pack): inject PII
+    → redact → score the CLEAN text with the bigram LM and the top-2-gram
+    repetition metric → decontaminate the train slice against the eval
+    slice → per-doc keep verdict (not contaminated, perplexity ≤ 30, top
+    2-gram coverage ≤ 0.10). Each stage is individually oracled; this entry
+    hash-checks their composition — the scorers must consume the REDACTED
+    text and the verdict must join all three signal tables without drift."""
+    from nextsearch_api_spark.operators.curation import (
+        ngram_contamination, redact_pii,
+    )
+    from nextsearch_api_spark.operators.textstats import (
+        bigram_lm_scores, repetition_signals,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    red = redact_pii(docs)
+    clean = red.select("doc_id", F.col("clean_text").alias("text"))
+    lm = bigram_lm_scores(clean).select("doc_id", "perplexity")
+    rep = repetition_signals(clean, top_ns=(2,)).select(
+        "doc_id", "top2gram_char_frac")
+    train = clean.where(F.col("doc_id") % 20 != 0)
+    decon = ngram_contamination(
+        train, clean.where(F.col("doc_id") % 20 == 0), n=5
+    ).select("doc_id", "contaminated")
+    return (
+        train.select("doc_id")
+        .join(red.select(
+            "doc_id",
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone"))
+            .alias("pii_count")), "doc_id")
+        .join(lm, "doc_id")
+        .join(rep, "doc_id")
+        .join(decon, "doc_id")
+        .select(
+            "doc_id", "pii_count", "perplexity", "top2gram_char_frac",
+            "contaminated",
+            (~F.col("contaminated")
+             & (F.col("perplexity") <= 30.0)
+             & (F.col("top2gram_char_frac") <= 0.10)).alias("keep"),
+        )
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-data pipeline (VERDICT r5 next #3): corpus →
     LSH candidate pairs → transitive components → keepers → drop duplicates
@@ -748,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
         "lm_perplexity": q_lm_perplexity,
+        "quality_filter_pipeline": q_quality_filter_pipeline,
         "unigram_jaccard": q_unigram_jaccard,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1153,6 +1204,86 @@ SELECT d.doc_id,
        round(coalesce(s.h, 0.0), 6) AS cross_entropy,
        round(pow(2.0, coalesce(s.h, 0.0)), 6) AS perplexity
 FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+    # quality_filter_pipeline oracle: the r6 stages composed in one flat
+    # WITH — inject → redact → LM + repetition + decontamination over the
+    # CLEAN text (one shared tokenization CTE) → keep verdict
+    sql["quality_filter_pipeline"] = f"""
+WITH src AS (SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN text || '{_PII_SUFFIX}'
+            ELSE text END AS text FROM documents),
+red AS (SELECT doc_id,
+       (len(regexp_extract_all(text, '{_pii_email}'))
+        + len(regexp_extract_all(text, '{_pii_ipv4}'))
+        + len(regexp_extract_all(text, '{_pii_phone}')))::BIGINT AS pii_count,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_pii_email}', '<EMAIL>', 'g'),
+           '{_pii_ipv4}', '<IP>', 'g'),
+           '{_pii_phone}', '<PHONE>', 'g') AS text
+       FROM src),
+ctoks AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS t FROM red),
+lm_bi AS (SELECT doc_id,
+       unnest(CASE WHEN len(t) >= 2 THEN
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1])
+         ELSE [] END) AS gram FROM ctoks),
+lm_model_bi AS (SELECT gram, count(*)::BIGINT AS c_vw FROM lm_bi GROUP BY 1),
+lm_model_v AS (SELECT split_part(gram, ' ', 1) AS v, sum(c_vw)::BIGINT AS c_v
+               FROM lm_model_bi GROUP BY 1),
+lm_vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS V
+             FROM (SELECT unnest(t) AS tok FROM ctoks)),
+lm_doc_bi AS (SELECT doc_id, gram, count(*)::BIGINT AS m
+              FROM lm_bi GROUP BY 1, 2),
+lm_scored AS (SELECT db.doc_id,
+       -sum(db.m * log2((coalesce(mb.c_vw, 0) + 1.0)
+                        / (coalesce(mv.c_v, 0) + lm_vocab.V)))
+        / sum(db.m) AS h
+       FROM lm_doc_bi db
+       LEFT JOIN lm_model_bi mb USING (gram)
+       LEFT JOIN lm_model_v mv ON mv.v = split_part(db.gram, ' ', 1)
+       CROSS JOIN lm_vocab GROUP BY 1, lm_vocab.V),
+lm AS (SELECT r.doc_id,
+       round(pow(2.0, coalesce(s.h, 0.0)), 6) AS perplexity
+       FROM red r LEFT JOIN lm_scored s USING (doc_id)),
+rp_gc AS (SELECT doc_id, gram, count(*)::BIGINT AS c
+          FROM lm_bi GROUP BY 1, 2),
+rp_top AS (SELECT doc_id, c, gram,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, gram) AS rn FROM rp_gc),
+rp_tch AS (SELECT doc_id, coalesce(len(array_to_string(t, '')), 0)::BIGINT
+           AS token_chars FROM ctoks),
+rep AS (SELECT r.doc_id,
+       round(least(1.0, CASE WHEN tch.token_chars > 0
+             THEN coalesce(length(replace(top.gram, ' ', '')) * top.c, 0)::DOUBLE
+                  / tch.token_chars ELSE 0 END), 6) AS top2gram_char_frac
+       FROM red r
+       LEFT JOIN rp_tch tch USING (doc_id)
+       LEFT JOIN (SELECT doc_id, gram, c FROM rp_top WHERE rn = 1) top
+       USING (doc_id)),
+dc_g AS (SELECT doc_id,
+       unnest(CASE WHEN len(t) >= 5 THEN
+         list_transform(generate_series(1, len(t) - 4),
+                        i -> array_to_string(t[i:i+4], ' '))
+         ELSE [] END) AS ngram FROM ctoks),
+dc_tg AS (SELECT DISTINCT doc_id, ngram FROM dc_g WHERE doc_id % 20 <> 0),
+dc_eg AS (SELECT DISTINCT ngram FROM dc_g WHERE doc_id % 20 = 0),
+dc_ov AS (SELECT dc_tg.doc_id, count(*)::BIGINT AS overlap_ngrams
+          FROM dc_tg JOIN dc_eg USING (ngram) GROUP BY 1),
+decon AS (SELECT d.doc_id,
+          coalesce(ov.overlap_ngrams, 0) > 0 AS contaminated
+          FROM (SELECT doc_id FROM red WHERE doc_id % 20 <> 0) d
+          LEFT JOIN dc_ov ov USING (doc_id))
+SELECT t.doc_id, red.pii_count, lm.perplexity, rep.top2gram_char_frac,
+       decon.contaminated,
+       (NOT decon.contaminated AND lm.perplexity <= 30.0
+        AND rep.top2gram_char_frac <= 0.10) AS keep
+FROM (SELECT doc_id FROM red WHERE doc_id % 20 <> 0) t
+JOIN red USING (doc_id)
+JOIN lm USING (doc_id)
+JOIN rep USING (doc_id)
+JOIN decon USING (doc_id)"""
 
     sql["unigram_jaccard"] = f"""
 WITH {_D_TOKS},
