@@ -659,6 +659,30 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, path, C, qv, k=10, nprobe=2)
 
 
+_PQ_TRAIN_ITERS = 3
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011): per-subspace
+    k-means codebooks (m=4, ksub=16, seed-11 init, exactly _PQ_TRAIN_ITERS
+    Lloyd iterations so the DuckDB oracle — which unrolls the same
+    iterations over the same rows — converges identically), corpus encoded
+    to 4 int codes per vector (64× smaller than the raw floats), then the
+    query scored against the codes via a broadcast-literal lookup table —
+    pure JVM expression, no UDF/join/shuffle in the scan."""
+    from nextsearch_api_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, train_pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    B = train_pq_codebooks(corpus, m=4, ksub=16, seed=11,
+                           max_iter=_PQ_TRAIN_ITERS, tol=0.0)
+    return pq_adc_topk(pq_encode(corpus, B), B, qv, k=10)
+
+
 # ------------------------------------------------- similarity / vectors --
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,7 +709,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_cosine_topk(spark, sf_dir).select("vec_id")
     out = None
     for name, fn in (("ivf_trained", q_ann_ivf_trained_topk),
-                     ("lsh", q_ann_lsh_topk)):
+                     ("lsh", q_ann_lsh_topk),
+                     ("pq", q_pq_adc_topk)):
         ann = fn(spark, sf_dir).select("vec_id")
         part = (
             ann.join(exact, "vec_id")
@@ -808,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_recall": q_ann_recall,
+        "pq_adc_topk": q_pq_adc_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1600,6 +1626,92 @@ SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
   FROM sims) t
 WHERE rank <= 10"""
 
+    # pq_adc_topk oracle: per-subspace Euclidean k-means IS SQL-expressible
+    # the same way the IVF oracle is — the seed-11 codebook init is inlined
+    # as literals, each Lloyd iteration is a CTE stage over (vec_id, j)
+    # subvectors (assignment = argmin of the SAME expansion the trainer
+    # computes, -2·s·c + ‖c‖², ties → lowest code; update = per-(j, code)
+    # Euclidean mean, empty cells keep the previous centroid), and the ADC
+    # phase joins the final assignment to a per-(j, code) query-distance
+    # LUT. All float64 both sides; assignment margins dwarf summation-order
+    # drift (same argument as ann_ivf_trained_topk).
+    from nextsearch_api_spark.operators.similarity import pq_codebooks
+    _pq_m, _pq_k, _pq_dim = 4, 16, 64
+    _pq_dsub = _pq_dim // _pq_m
+    PB = pq_codebooks(_pq_dim, _pq_m, _pq_k, seed=11)
+    pq_rows = ",\n    ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            j, c, ", ".join(repr(float(x)) for x in PB[j][c]))
+        for j in range(_pq_m) for c in range(_pq_k)
+    )
+    pq_iters = []
+    for it in range(1, _PQ_TRAIN_ITERS + 1):
+        p = it - 1
+        pq_iters.append(f"""
+pa{it} AS (
+  SELECT vec_id, j, s, cid,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY -2 * list_dot_product(s, cv)
+                                     + list_dot_product(cv, cv), cid) AS rn
+  FROM sub JOIN pqc{p} c USING (j)),
+pm{it} AS (
+  SELECT j, cid, dim, avg(s[dim]) AS mx
+  FROM (SELECT j, s, cid FROM pa{it} WHERE rn = 1) t
+  CROSS JOIN (SELECT unnest(generate_series(1, {_pq_dsub})) AS dim) d
+  GROUP BY 1, 2, 3),
+pv{it} AS (SELECT j, cid, list(mx ORDER BY dim) AS mv FROM pm{it} GROUP BY 1, 2),
+pqc{it} AS (
+  SELECT c.j, c.cid, coalesce(s.mv, c.cv) AS cv
+  FROM pqc{p} c LEFT JOIN pv{it} s ON s.j = c.j AND s.cid = c.cid)""")
+    pq_chain = ",".join(pq_iters)
+    pq_n = _PQ_TRAIN_ITERS
+    sql["pq_adc_topk"] = f"""
+WITH pqc0(j, cid, cv) AS (VALUES
+    {pq_rows}),
+vecs AS (SELECT vec_id,
+                list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         FROM embeddings),
+vn AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(v, v) > 0
+              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+              ELSE v END AS u
+  FROM vecs WHERE vec_id <> 0),
+js AS (SELECT unnest(generate_series(0, {_pq_m - 1})) AS j),
+sub AS (SELECT vec_id, j,
+               u[j * {_pq_dsub} + 1 : (j + 1) * {_pq_dsub}] AS s
+        FROM vn CROSS JOIN js),{pq_chain},
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY -2 * list_dot_product(s, cv)
+                                       + list_dot_product(cv, cv), cid) AS rn
+    FROM sub JOIN pqc{pq_n} c USING (j)) t WHERE rn = 1),
+q AS (
+  SELECT CASE WHEN list_dot_product(v, v) > 0
+              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+              ELSE v END AS qu
+  FROM vecs WHERE vec_id = 0),
+qsub AS (SELECT j, qu[j * {_pq_dsub} + 1 : (j + 1) * {_pq_dsub}] AS qs
+         FROM q CROSS JOIN js),
+lut AS (
+  SELECT c.j, c.cid,
+         list_dot_product(list_transform(cv, (x, i) -> x - qs[i]),
+                          list_transform(cv, (x, i) -> x - qs[i])) AS d
+  FROM pqc{pq_n} c JOIN qsub USING (j)),
+dists AS (
+  SELECT vec_id, sum(d) AS dist
+  FROM codes JOIN lut USING (j, cid) GROUP BY 1)
+SELECT rank, vec_id, adc_cos FROM (
+  SELECT vec_id,
+         round(1.0 - dist / 2, 9) AS cr,
+         round(1.0 - dist / 2, 6) AS adc_cos,
+         row_number() OVER (ORDER BY round(1.0 - dist / 2, 9) DESC, vec_id)
+           AS rank
+  FROM dists) t
+WHERE rank <= 10"""
+
     sql["cosine_topk"] = """
 WITH q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id = 0),
@@ -1627,6 +1739,10 @@ JOIN ({sql["cosine_topk"]}) e USING (vec_id)
 UNION ALL
 SELECT 'lsh', count(*)::BIGINT, round(count(*) / 10.0, 6)
 FROM ({sql["ann_lsh_topk"]}) a
+JOIN ({sql["cosine_topk"]}) e USING (vec_id)
+UNION ALL
+SELECT 'pq', count(*)::BIGINT, round(count(*) / 10.0, 6)
+FROM ({sql["pq_adc_topk"]}) a
 JOIN ({sql["cosine_topk"]}) e USING (vec_id)"""
 
     sql["label_centroid_norm"] = """

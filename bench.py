@@ -340,10 +340,17 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
         from nextsearch_api_spark.operators.curation import (
             ngram_contamination, redact_pii,
         )
-        from nextsearch_api_spark.operators.similarity import train_ivf_centroids
+        from nextsearch_api_spark.operators.similarity import (
+            pq_adc_topk, pq_encode, train_ivf_centroids, train_pq_codebooks,
+        )
         from nextsearch_api_spark.operators.textstats import (
             bigram_lm_scores, repetition_signals,
         )
+
+        def _pq_run():
+            B = train_pq_codebooks(emb, m=4, ksub=16, seed=11,
+                                   max_iter=3, tol=0.0)
+            return pq_adc_topk(pq_encode(emb, B), B, qv, k=10).count()
 
         ops = {
             "minhash_signatures": lambda: minhash_signatures(
@@ -374,6 +381,10 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
                 docs.where(F.col("doc_id") % 20 == 0), n=5).count(),
             "repetition_signals": lambda: repetition_signals(docs).count(),
             "redact_pii": lambda: redact_pii(docs).count(),
+            # r6 PQ family: 3 fixed Lloyd iterations (one zero-shuffle
+            # partial pass covers all m subspaces) + the encode-then-ADC
+            # serving path (LUT literal, pure codegen)
+            "pq_train_encode_adc": _pq_run,
         }
         times: dict[str, float] = {}
         best_steal: dict[str, float] = {}

@@ -392,6 +392,215 @@ def ivf_topk(spark, index_path: str, centroids: np.ndarray,
     return cosine_topk(df, list(map(float, qv)), k, id_col, vec_col)
 
 
+def pq_codebooks(dim: int, m: int = 4, ksub: int = 16,
+                 seed: int = 11) -> np.ndarray:
+    """Deterministic product-quantization codebook init: for each of the
+    ``m`` subspaces (dim/m dims each), ``ksub`` seeded Gaussian centroids
+    scaled by 1/sqrt(dim) so their norms match the subvector norms of
+    L2-normalized inputs (≈ sqrt(dsub/dim)). Shape (m, ksub, dsub).
+    Jégou, Douze & Schmid 2011 (TPAMI) — public construction."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, ksub, dim // m)) / np.sqrt(dim)
+
+
+def _pq_assign(V: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, dim) unit vectors × (m, ksub, dsub) codebooks → (n, m) int codes:
+    per-subspace argmin squared-L2 (ties → lowest code, np.argmin's rule)."""
+    n, dim = V.shape
+    m, ksub, dsub = B.shape
+    codes = np.empty((n, m), dtype=np.int32)
+    for j in range(m):
+        S = V[:, j * dsub:(j + 1) * dsub]
+        # ||s-c||² = ||s||² - 2 s·c + ||c||²; ||s||² is constant per row
+        d = -2.0 * (S @ B[j].T) + (B[j] * B[j]).sum(axis=1)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def train_pq_codebooks_numpy(M: np.ndarray, m: int = 4, ksub: int = 16,
+                             seed: int = 11, max_iter: int = 10,
+                             tol: float = 1e-6) -> np.ndarray:
+    """Driver-side NumPy twin of ``train_pq_codebooks`` — identical
+    semantics (same init, same per-subspace argmin-L2 assignment, Euclidean
+    mean update, empty cells keep the previous centroid). Inputs are
+    L2-normalized before training, matching the distributed trainer."""
+    V = _normalize_rows(np.asarray(M, dtype=np.float64))
+    B = pq_codebooks(V.shape[1], m, ksub, seed)
+    dsub = V.shape[1] // m
+    for _ in range(max_iter):
+        codes = _pq_assign(V, B)
+        newB = B.copy()
+        for j in range(m):
+            S = V[:, j * dsub:(j + 1) * dsub]
+            sums = np.zeros((ksub, dsub))
+            np.add.at(sums, codes[:, j], S)
+            counts = np.bincount(codes[:, j], minlength=ksub)
+            live = counts > 0
+            newB[j][live] = sums[live] / counts[live, None]
+        delta = float(np.abs(newB - B).max())
+        B = newB
+        if delta < tol:
+            break
+    return B
+
+
+def _pq_partial_fn(B: np.ndarray):
+    """mapInPandas: per-partition partial k-means step for ALL m subspaces
+    at once — assign codes against the broadcast codebooks, accumulate per
+    (subspace, code) (count, sum-subvector). ≤ m·ksub rows per partition,
+    pid-tagged for a deterministic driver merge (same shape as
+    _ivf_partial_fn)."""
+    Bd = np.ascontiguousarray(B, dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        m, ksub, dsub = Bd.shape
+        sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _normalize_rows(np.asarray(pdf["v"].to_list(), dtype=np.float64))
+            codes = _pq_assign(V, Bd)
+            for j in range(m):
+                S = V[:, j * dsub:(j + 1) * dsub]
+                np.add.at(sums[j], codes[:, j], S)
+                counts[j] += np.bincount(codes[:, j], minlength=ksub)
+        live = np.nonzero(counts)
+        if live[0].size:
+            tc = TaskContext.get()
+            pid = int(tc.partitionId()) if tc is not None else 0
+            yield pd.DataFrame({
+                "pid": np.full(live[0].size, pid, dtype=np.int32),
+                "subspace": live[0].astype(np.int32),
+                "code": live[1].astype(np.int32),
+                "n": counts[live],
+                "sv": [sums[j][c].tolist() for j, c in zip(*live)],
+            })
+
+    return fn
+
+
+def train_pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
+                       seed: int = 11, max_iter: int = 10,
+                       tol: float = 1e-6,
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks via per-subspace Euclidean k-means
+    over the L2-NORMALIZED embedding column (Jégou et al. 2011) — the
+    compression trainer for ADC search.
+
+    Scale shape (same as train_ivf_centroids): each Lloyd iteration is ONE
+    zero-shuffle mapInPandas pass emitting ≤ m·ksub partial rows per
+    partition (subspace, code → count + sum-subvector), merged driver-side
+    in sorted (subspace, code, pid) order so float64 sums are deterministic
+    run-to-run. The collect is bounded by partitions × m·ksub rows. All m
+    subspaces train in the SAME pass — m× fewer jobs than per-subspace
+    loops. Pass tol=0.0 to force exactly max_iter iterations (oracle
+    parity with an unrolled-SQL twin)."""
+    dim = len(emb.select(vec_col).first()[0])
+    B = pq_codebooks(dim, m, ksub, seed)
+    dsub = dim // m
+    vecs = emb.select(F.col(vec_col).alias("v")).persist()
+    try:
+        for _ in range(max_iter):
+            rows = vecs.mapInPandas(
+                _pq_partial_fn(B),
+                schema="pid int, subspace int, code int, n long, sv array<double>",
+            ).collect()
+            sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            for r in sorted(rows, key=lambda r: (r["subspace"], r["code"], r["pid"])):
+                sums[r["subspace"]][r["code"]] += np.asarray(r["sv"], dtype=np.float64)
+                counts[r["subspace"]][r["code"]] += int(r["n"])
+            newB = B.copy()
+            for j in range(m):
+                live = counts[j] > 0
+                newB[j][live] = sums[j][live] / counts[j][live, None]
+            delta = float(np.abs(newB - B).max())
+            B = newB
+            if delta < tol:
+                break
+    finally:
+        vecs.unpersist()
+    return B
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """pandas UDF: array<float> embedding → array<int> of m PQ codes
+    (vectors L2-normalized first; per-subspace argmin-L2, ties → lowest)."""
+    from pyspark.sql.types import ArrayType
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    def enc(batch: pd.Series) -> pd.Series:
+        V = _normalize_rows(np.asarray(batch.to_list(), dtype=np.float64))
+        codes = _pq_assign(V, B)
+        return pd.Series(list(codes), index=batch.index)
+
+    return F.pandas_udf(enc, ArrayType(IntegerType()))
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, codes): the PQ-compressed corpus — m int codes per vector
+    instead of dim floats (m=4, ksub=16 → 4 bytes vs 256: 64× smaller scan
+    at serving time; at 100 TB of raw embeddings the code table is what
+    actually fits in cluster page cache)."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_adc_scores(codes_df: DataFrame, codebooks: np.ndarray,
+                  query_vec: list[float]) -> DataFrame:
+    """Lazy ADC scoring frame (vec_id, _cr, adc_cos): the UNQUANTIZED
+    query's per-subspace distance to every codebook centroid is
+    precomputed driver-side into one flat m·ksub lookup table, broadcast
+    as a literal array, and each row's distance is a pure JVM expression —
+    sum over subspaces of LUT[j·ksub + code_j]. No UDF, no join, no
+    shuffle in the scoring scan (plan-gated by
+    tests/test_pipeline_ops.py::test_pq_adc_scan_is_jvm_only)."""
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    lut = np.empty(m * ksub, dtype=np.float64)
+    for j in range(m):
+        s = q[j * dsub:(j + 1) * dsub]
+        lut[j * ksub:(j + 1) * ksub] = ((B[j] - s) ** 2).sum(axis=1)
+    lut_lit = "array({})".format(
+        ", ".join(f"{float(x)!r}d" for x in lut))
+    dist = F.expr(
+        f"aggregate(transform(codes, (c, j) -> element_at({lut_lit},"
+        f" j * {ksub} + c + 1)), 0d, (acc, v) -> acc + v)")
+    return codes_df.select(
+        "vec_id",
+        F.round(F.lit(1.0) - dist / 2, 9).alias("_cr"),
+        F.round(F.lit(1.0) - dist / 2, 6).alias("adc_cos"),
+    )
+
+
+def pq_adc_topk(codes_df: DataFrame, codebooks: np.ndarray,
+                query_vec: list[float], k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al. 2011).
+    Catalyst plans the bounded top-k as TakeOrderedAndProject (per-partition
+    heap, k·P driver merge). ``adc_cos`` = 1 − dist²/2, the cosine the
+    reconstruction approximates (exact if quantization error were zero,
+    since both sides are unit-normalized)."""
+    scored = pq_adc_scores(codes_df, codebooks, query_vec)
+    rows = (scored.orderBy(F.desc("_cr"), F.asc("vec_id")).limit(k)).collect()
+    rows.sort(key=lambda r: (-r["_cr"], r["vec_id"]))
+    out = [(i + 1, int(r["vec_id"]), float(r["adc_cos"]))
+           for i, r in enumerate(rows)]
+    return codes_df.sparkSession.createDataFrame(
+        out, "rank int, vec_id long, adc_cos double")
+
+
 def ann_lsh_topk(spark, index_path: str, planes: np.ndarray,
                  query_vec: list[float], k: int = 10, multiprobe: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -581,6 +581,97 @@ def test_trained_ivf_matches_numpy_twin(spark):
     assert np.allclose(np.linalg.norm(C_spark, axis=1), 1.0)
 
 
+def test_pq_trainer_matches_numpy_twin(spark):
+    """The distributed PQ trainer (one zero-shuffle mapInPandas pass per
+    Lloyd iteration covering ALL m subspaces) must compute the same
+    codebooks as the driver-side NumPy twin — the twin defines the
+    semantics the unrolled-SQL DuckDB oracle re-derives, so this equality
+    is what makes the pq_adc_topk gate entry sound. Training is also
+    partition-count invariant (float-summation drift only)."""
+    from nextsearch_api_spark.operators.similarity import (
+        pq_codebooks, train_pq_codebooks, train_pq_codebooks_numpy,
+    )
+
+    rng = np.random.default_rng(17)
+    M = rng.standard_normal((240, 16))
+    M[::4] *= 30.0  # norm-varying rows: the trainer normalizes first
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    M32 = M.astype(np.float32).astype(np.float64)
+
+    B_spark = train_pq_codebooks(emb, m=4, ksub=8, seed=9, max_iter=4,
+                                 tol=0.0)
+    B_np = train_pq_codebooks_numpy(M32, m=4, ksub=8, seed=9, max_iter=4,
+                                    tol=0.0)
+    assert B_spark.shape == (4, 8, 4)
+    assert np.allclose(B_spark, B_np, atol=1e-9)
+    B_repart = train_pq_codebooks(emb.repartition(7), m=4, ksub=8, seed=9,
+                                  max_iter=4, tol=0.0)
+    assert np.allclose(B_spark, B_repart, atol=1e-9)
+    # training moved the quantizer off the seeded init
+    assert not np.allclose(B_spark, pq_codebooks(16, 4, 8, seed=9))
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    """k-means monotonicity: the trained codebooks reconstruct the train
+    set with no more squared error than the seeded init — and the ADC
+    distance of a vector to its OWN codes is the reconstruction error, so
+    lower is directly better search quality."""
+    from nextsearch_api_spark.operators.similarity import (
+        _normalize_rows, _pq_assign, pq_codebooks, train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(23)
+    M = rng.standard_normal((300, 16))
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    V = _normalize_rows(M.astype(np.float32).astype(np.float64))
+
+    def mse(B):
+        codes = _pq_assign(V, B)
+        err = 0.0
+        m, ksub, dsub = B.shape
+        for j in range(m):
+            S = V[:, j * dsub:(j + 1) * dsub]
+            err += ((S - B[j][codes[:, j]]) ** 2).sum()
+        return err / len(V)
+
+    B0 = pq_codebooks(16, 4, 8, seed=9)
+    Bt = train_pq_codebooks(emb, m=4, ksub=8, seed=9, max_iter=6)
+    assert mse(Bt) <= mse(B0)
+    assert mse(Bt) < 0.9 * mse(B0)  # and strictly, materially better
+
+
+def test_pq_adc_scan_is_jvm_only(spark):
+    """The ADC scoring scan must stay inside codegen: the LUT is a literal
+    array and the per-row distance a pure SQL expression — no Python eval
+    node anywhere in the scoring plan (UDFs appear only in the one-time
+    encode step)."""
+    from nextsearch_api_spark.operators.similarity import (
+        pq_adc_scores, pq_adc_topk, pq_encode, train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(31)
+    M = rng.standard_normal((120, 16))
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    B = train_pq_codebooks(emb, m=4, ksub=8, seed=9, max_iter=2)
+    codes = pq_encode(emb, B)
+    assert codes.schema["codes"].dataType.simpleString() == "array<int>"
+    # materialize codes so the scored plan contains only the scoring step
+    codes_local = spark.createDataFrame(codes.collect(), codes.schema)
+    scored = pq_adc_scores(codes_local, B, [float(x) for x in M[0]])
+    sc = spark.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        scored._jdf.queryExecution(), "formatted")  # noqa: SLF001
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # scoring is scan-local, shuffle-free
+    # end-to-end: the query's own vector is its ADC top-1
+    top = pq_adc_topk(codes_local, B, [float(x) for x in M[0]], k=3).collect()
+    assert top[0]["vec_id"] == 0
+
+
 def test_connected_components_matches_union_find(spark):
     """Iterative min-label propagation == a driver-side union-find on
     randomized pair graphs (chains force multi-round convergence; isolated
