@@ -307,6 +307,38 @@ def q_near_dup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_keepers(_docs(spark, sf_dir), comp)
 
 
+_BOILERPLATE = "this site uses cookies see our privacy policy for details"
+
+
+def _para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic paragraph synthesis for the paragraph_dedup gate: the
+    testdata texts carry no newlines, so re-chunk each doc's tokens into
+    12-token pseudo-paragraphs and append a fixed boilerplate paragraph to
+    every 7th doc — the oracle reproduces the same construction, and the
+    injected boilerplate guarantees cross-doc paragraph duplication by
+    design (the redact_pii injection pattern)."""
+    chunked = F.expr(
+        "array_join(transform(sequence(0,"
+        " cast(ceil(size(split(text, ' ')) / 12.0) as int) - 1),"
+        " i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' ')),"
+        " '\\n')")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(chunked, F.lit("\n" + _BOILERPLATE)))
+        .otherwise(chunked).alias("text"),
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (CCNet §3.1 boilerplate removal): only
+    the corpus-wide first occurrence of each normalized paragraph survives;
+    docs are rebuilt from kept paragraphs in order."""
+    from nextsearch_api_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_para_docs(spark, sf_dir))
+
+
 def q_unigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup score for consecutive doc pairs (unigram
     token sets, pairs (i, i+1) for i < 99)."""
@@ -735,6 +767,29 @@ def q_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events stream: odd events (the 'measurement'
+    side) each pick up the latest prior-or-equal even-event value
+    ('reference' side) for the same user — pandas merge_asof / DuckDB ASOF
+    JOIN semantics, implemented join-free as one per-user union + window
+    carry-forward. The right side is pre-aggregated to unique (user, ts)
+    so 'latest prior row' is well-defined (the operator enforces this)."""
+    from nextsearch_api_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    left = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts", "event_id", F.round("value", 6).alias("value"))
+    right = (ev.where(F.col("event_id") % 2 == 0)
+             .groupBy("user_id", "ts")
+             .agg(F.round(F.max("value"), 6).alias("ref_value")))
+    out = asof_join(left, right, on="ts", by="user_id",
+                    value_cols=["ref_value"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id", "value", "ref_value")
+
+
 # ------------------------------------------------------------ streaming --
 
 def q_user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,6 +846,39 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregate (batch twin of F.window with a slide):
+    2-hour windows every hour, so each event lands in exactly two windows —
+    the overlap semantics tumbling windows can't express. The oracle
+    reproduces Spark's epoch-aligned window starts by fanning each event
+    to date_trunc(hour) and date_trunc(hour) − 1h."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy("event_type",
+                   F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("event_type",
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("win_start"), "n", "sum_value")
+    )
+
+
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous-interpolation percentiles per event type (Spark
+    `percentile`, not the approx sketch — deterministic, so it
+    hash-checks against DuckDB's quantile_cont, which uses the same
+    p·(n−1) linear-interpolation definition)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"))
+    )
+
+
 # ------------------------------------------------------------- contract --
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -815,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "near_dup_components": q_near_dup_components,
         "near_dup_keepers": q_near_dup_keepers,
+        "paragraph_dedup": q_paragraph_dedup,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "curation_pipeline": q_curation_pipeline,
@@ -844,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_norm": q_label_centroid_norm,
         "events_hourly": q_events_hourly,
         "user_sessions_batch": q_user_sessions_batch,
+        "events_asof": q_events_asof,
+        "events_sliding": q_events_sliding,
+        "event_quantiles": q_event_quantiles,
     }
 
 
@@ -981,6 +1073,53 @@ SELECT d.doc_id,
        coalesce(c.component, d.doc_id)::BIGINT AS keeper_doc_id,
        (coalesce(c.component, d.doc_id) <> d.doc_id) AS is_dup
 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
+
+    # paragraph_dedup oracle: same deterministic paragraph synthesis
+    # (12-token chunks + boilerplate on every 7th doc), then first-occurrence
+    # keep via a (key → min(doc_id, pos)) window and an ordered string_agg
+    # rebuild. list_transform's index is 1-based (pos = i-1 matches Spark's
+    # posexplode).
+    sql["paragraph_dedup"] = f"""
+WITH chunked AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             generate_series(1, cast(ceil(len(string_split(text, ' ')) / 12.0)
+                                     AS BIGINT)),
+             i -> array_to_string(
+                 (string_split(text, ' '))[(i - 1) * 12 + 1 : i * 12], ' ')),
+           chr(10)) AS t2
+  FROM documents),
+src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN t2 || chr(10) || '{_BOILERPLATE}'
+              ELSE t2 END AS text
+  FROM chunked),
+paras AS (
+  SELECT doc_id, s.pos AS pos, s.p AS para, lower(trim(s.p)) AS key
+  FROM (SELECT doc_id,
+               unnest(list_transform(string_split(text, chr(10)),
+                                     (x, i) -> {{'pos': i - 1, 'p': x}})) AS s
+        FROM src) t
+  WHERE lower(trim(s.p)) <> ''),
+first AS (
+  SELECT key, doc_id, pos FROM (
+    SELECT key, doc_id, pos,
+           row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+    FROM paras) t WHERE rn = 1),
+kept AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM paras p JOIN first f
+    ON f.key = p.key AND f.doc_id = p.doc_id AND f.pos = p.pos),
+reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+               count(*)::BIGINT AS n_kept
+        FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_paras FROM paras GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       coalesce(tot.n_paras, 0) AS n_paras,
+       coalesce(reb.n_kept, 0) AS n_kept,
+       coalesce(tot.n_paras, 0) - coalesce(reb.n_kept, 0) AS n_removed
+FROM src d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)"""
 
     # guard-metrics oracle: same shingles + signatures; with rows_per_band=1
     # a band bucket is exactly one (seed, minhash) group, so bucket sizes
@@ -1774,6 +1913,40 @@ SELECT user_id,
        count(*)::BIGINT AS n,
        round(sum(value), 6) AS sum_value
 FROM sess GROUP BY user_id, sess_id"""
+
+    # events_asof oracle: DuckDB's native ASOF LEFT JOIN — exactly the
+    # semantics the union+window operator implements (latest right row with
+    # right.ts <= left.ts per key; NULL where no prior row)
+    sql["events_asof"] = """
+WITH l AS (SELECT user_id, ts, event_id, round(value, 6) AS value
+           FROM events WHERE event_id % 2 = 1),
+r AS (SELECT user_id, ts, round(max(value), 6) AS ref_value
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2)
+SELECT l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       l.event_id, l.value, r.ref_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+    # events_sliding oracle: fan each event to its two epoch-aligned
+    # 2h/1h-slide windows (date_trunc(hour) and one hour earlier), group
+    sql["events_sliding"] = """
+WITH w AS (
+  SELECT event_type, value,
+         date_trunc('hour', ts) - to_hours(k) AS win_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
+SELECT event_type,
+       strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value
+FROM w GROUP BY 1, 2"""
+
+    # event_quantiles oracle: quantile_cont == Spark's exact `percentile`
+    # (both interpolate linearly at p·(n−1))
+    sql["event_quantiles"] = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1"""
 
     sql["events_hourly"] = """
 SELECT event_type,

@@ -343,3 +343,62 @@ def near_dup_keepers(docs: DataFrame, components: DataFrame,
         )
     )
     return out.withColumn("is_dup", (F.col("doc_id") != F.col("keeper_doc_id")))
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/FineWeb boilerplate-removal
+    step, Wenzek et al. 2020 §3.1): split each document on ``sep``, keep a
+    paragraph occurrence only if it is the corpus-wide FIRST occurrence of
+    its normalized (lower+trim) form, and rebuild documents from the kept
+    paragraphs in their original order. Headers, footers, cookie banners
+    and license boilerplate repeated across billions of pages disappear
+    while the first copy survives.
+
+    → (doc_id, clean_text, n_paras, n_kept, n_removed); n_* count
+    non-empty-after-trim paragraphs only.
+
+    Scale shape: ONE shuffle keyed by the normalized paragraph (groupBy →
+    min(struct(doc_id, pos)) — map-side partial combine collapses hot
+    boilerplate keys before the exchange), one join back keyed the same
+    way, then a doc-keyed rebuild (array_sort over collected (pos, para)
+    structs — JVM expressions, no Python). Never all-pairs; the
+    first-occurrence table is |distinct paragraphs|, not |occurrences|.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .withColumn("key", F.lower(F.trim("para")))
+        .where(F.col("key") != "")
+    )
+    first = paras.groupBy("key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"))
+    kept = (
+        paras.join(first, "key")
+        .where((F.col("doc_id") == F.col("first.doc_id"))
+               & (F.col("pos") == F.col("first.pos")))
+        .select("doc_id", "pos", "para")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr("array_join(transform(array_sort(collect_list(struct(pos, para))),"
+               " s -> s.para), '{}')".format(sep.replace("'", "\\'")))
+        .alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = paras.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.coalesce("n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_removed"),
+        )
+    )

@@ -581,6 +581,75 @@ def test_trained_ivf_matches_numpy_twin(spark):
     assert np.allclose(np.linalg.norm(C_spark, axis=1), 1.0)
 
 
+def test_asof_join(spark):
+    """Union+window as-of join == merge_asof semantics: latest
+    prior-OR-EQUAL right row per key, NULL before the first right row,
+    keys never cross, multiple value columns carry together, and duplicate
+    right (key, ts) rows are rejected."""
+    import pytest as _pytest
+
+    from nextsearch_api_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, 100), ("a", 10, 101), ("a", 20, 102),
+         ("b", 10, 200), ("c", 7, 300)],
+        "k string, ts long, ev long")
+    right = spark.createDataFrame(
+        [("a", 7, 1.0, "x"), ("a", 10, 2.0, "y"), ("a", 15, 3.0, "z"),
+         ("b", 99, 9.0, "w")],
+        "k string, ts long, v double, tag string")
+    out = {(r["k"], r["ts"]): r for r in
+           asof_join(left, right, on="ts", by="k").collect()}
+    assert out[("a", 5)]["v"] is None           # before any right row
+    assert out[("a", 10)]["v"] == 2.0           # equal ts matches (<=)
+    assert out[("a", 10)]["tag"] == "y"         # value cols carry together
+    assert out[("a", 20)]["v"] == 3.0           # latest prior, not first
+    assert out[("b", 10)]["v"] is None          # right row is in the future
+    assert out[("c", 7)]["v"] is None           # key with no right rows
+    assert set(out) == {("a", 5), ("a", 10), ("a", 20), ("b", 10), ("c", 7)}
+
+    dup_right = right.union(spark.createDataFrame(
+        [("a", 7, 8.0, "dup")], right.schema))
+    with _pytest.raises(ValueError, match="duplicate"):
+        asof_join(left, dup_right, on="ts", by="k")
+
+
+def test_paragraph_dedup(spark):
+    """CCNet-style paragraph dedup: corpus-wide first occurrence of each
+    normalized paragraph survives, later copies (any doc, any case/space
+    form, or repeats WITHIN a doc) are removed; rebuilt docs preserve
+    paragraph order; the operator is idempotent."""
+    from nextsearch_api_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "Hello\nshared line\nunique one"),
+         (2, "shared line\nother text"),
+         (3, "  SHARED LINE \nmore"),
+         (4, ""),
+         (5, "x\nx\ny")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+
+    assert out[1]["clean_text"] == "Hello\nshared line\nunique one"
+    assert (out[1]["n_paras"], out[1]["n_kept"], out[1]["n_removed"]) == (3, 3, 0)
+    assert out[2]["clean_text"] == "other text"
+    assert out[2]["n_removed"] == 1
+    # normalization: case + surrounding whitespace fold into the same key,
+    # but the KEPT paragraph keeps its original form
+    assert out[3]["clean_text"] == "more"
+    assert out[3]["n_removed"] == 1
+    assert (out[4]["clean_text"], out[4]["n_paras"]) == ("", 0)
+    # within-doc repeat: only the first copy survives
+    assert out[5]["clean_text"] == "x\ny"
+    assert (out[5]["n_paras"], out[5]["n_kept"]) == (3, 2)
+
+    # idempotence: a second pass over the rebuilt corpus removes nothing
+    again = paragraph_dedup(
+        paragraph_dedup(docs).select("doc_id",
+                                     F.col("clean_text").alias("text")))
+    assert all(r["n_removed"] == 0 for r in again.collect())
+
+
 def test_pq_trainer_matches_numpy_twin(spark):
     """The distributed PQ trainer (one zero-shuffle mapInPandas pass per
     Lloyd iteration covering ALL m subspaces) must compute the same
