@@ -719,6 +719,20 @@ keep the distributed two-job path; (b) N/total_len are observed DURING the
 docs write (Observation metric accumulators), removing the stats stage's
 aggregation job.
 
+Round 6 removed the build's LAST duplicated pass: the ids stage used to
+tokenize the whole corpus a second time just to learn doc_len/avgdl before
+the postings stage (append_doc_len — measured 11 s of the 17 s 8-core ids
+stage at 400k docs, ~30 s of 45 s at 2 cores, and the worst-scaling work
+in the build: regex-split string kernels at 2→8 efficiency 0.69). The
+fused postings tokenize now derives doc_len itself: chunks carry a
+(tf, dl) Pareto frontier instead of max_impact (BM25 impact is monotone
+↑tf ↓dl, so the attained max for ANY avgdl lies on the frontier), each
+task emits packed doc-stat carrier rows, and once avgdl is known a
+vectorized pandas_udf over ONLY the frontier columns finalizes max_impact
+post-sort — blob bytes never cross the JVM↔Python boundary and the output
+is bit-identical to the eager path. Build: 36.3 s → ~28 s at 8 pinned
+cores, ~113 s → ~102 s at 2.
+
 Residual sub-linearity at 16 cores tracks the kernel sweep's own 16-core
 knee (0.85) plus per-stage fixed work that does not grow with data —
 footer row-counts, job/Python-worker setup

@@ -74,6 +74,16 @@ POSTINGS_SCHEMA = StructType([
     StructField("blob", BinaryType(), False),
 ])
 
+# deferred-impact build output (segment mode, avgdl unknown at tokenize
+# time): POSTINGS_SCHEMA + per-chunk (tf, dl) Pareto frontier; the frontier
+# columns are consumed by finalize_max_impact and never reach disk
+POSTINGS_BUILD_SCHEMA = StructType(
+    POSTINGS_SCHEMA.fields + [
+        StructField("fr_tf", ArrayType(IntegerType(), False), False),
+        StructField("fr_dl", ArrayType(IntegerType(), False), False),
+    ]
+)
+
 _KEY_SEP = "\x01"
 
 # bump when the on-disk chunk/lexicon format changes — forces resume logic to
@@ -434,9 +444,9 @@ def _tokenize_tf_arrow(corpus_ids: DataFrame) -> DataFrame:
 
 # ----------------------------------------------------------------- chunks --
 
-def _pa_postings_schema():
+def _pa_postings_schema(frontier: bool = False):
     import pyarrow as pa
-    return pa.schema([
+    fields = [
         ("term", pa.string()),
         ("doc_lo", pa.int64()),
         ("doc_hi", pa.int64()),
@@ -448,24 +458,37 @@ def _pa_postings_schema():
         ("tf_off", pa.int32()),
         ("dl_off", pa.int32()),
         ("blob", pa.binary()),
-    ])
+    ]
+    if frontier:
+        fields += [("fr_tf", pa.list_(pa.int32())),
+                   ("fr_dl", pa.list_(pa.int32()))]
+    return pa.schema(fields)
 
 
 def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
                         k1, b, avgdl32):
     """Vectorized chunk emission from (term-code, doc)-sorted arrays and
     chunk boundaries [cst, cen): whole-batch impact computation, reduceat
-    aggregates, ONE varbyte pass per stream, per-chunk byte slicing."""
+    aggregates, ONE varbyte pass per stream, per-chunk byte slicing.
+
+    ``avgdl32=None`` = deferred-impact mode (the segment build path, r6):
+    avgdl is not known yet — the corpus is tokenized exactly ONCE, in this
+    pass, and avgdl is derived from it afterwards. Instead of max_impact the
+    batch carries each chunk's Pareto frontier of (tf, dl) pairs (points not
+    dominated by another point with tf' ≥ tf and dl' ≤ dl). BM25 impact is
+    increasing in tf and decreasing in dl, so for ANY avgdl the attained
+    chunk max lies on the frontier; ``finalize_max_impact`` evaluates it
+    with the same float32 arithmetic once avgdl exists. (Stepwise f32
+    rounding is monotone in dl and can invert the tf direction by ~1 ulp,
+    i.e. the finalized value may understate the true f32 max by ~1e-7
+    relative — two orders of magnitude inside the 1e-5 slack the chunk
+    prefilter already applies, operators/query.py _CHUNK_PRUNE_SLACK.)"""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from nextsearch_api_spark.functions.codec import varbyte_encode_all
 
     one = np.float32(1.0)
-    tf32 = tfs.astype(np.float32)
-    dl32 = dls.astype(np.float32)
-    imp_all = (tf32 * (k1 + one)
-               / (tf32 + k1 * (one - b + b * (dl32 / avgdl32)))).astype(np.float32)
     m = int(cen[-1])  # rows covered by chunks (any held-back tail excluded)
     gaps = np.empty(m, dtype=np.int64)
     gaps[1:] = ids[1:m] - ids[: m - 1]
@@ -481,7 +504,37 @@ def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
     # stats drift (incremental compaction changes avgdl) can never make the
     # stored build-time max_impact unsound
     min_dl = np.minimum.reduceat(dls[:m], cst)
-    max_imp = np.maximum.reduceat(imp_all[:m], cst)
+
+    fr_off = fr_tf_vals = fr_dl_vals = None
+    if avgdl32 is not None:
+        tf32 = tfs[:m].astype(np.float32)
+        dl32 = dls[:m].astype(np.float32)
+        imp_all = (tf32 * (k1 + one)
+                   / (tf32 + k1 * (one - b + b * (dl32 / avgdl32))))
+        max_imp = np.maximum.reduceat(imp_all, cst)
+    else:
+        # per-chunk Pareto frontier, one vectorized pass: sort rows by
+        # (chunk, tf desc, dl asc); a row is on the frontier iff its dl is
+        # strictly below the running per-chunk min (rows before it have
+        # ≥ tf). Equal (tf, dl) duplicates collapse to one point.
+        cid = np.searchsorted(cen, np.arange(m), side="right")
+        order = np.lexsort((dls[:m], -tfs[:m], cid))
+        cs = cid[order]
+        ds = dls[:m][order]
+        gmin = pd.Series(ds).groupby(cs).cummin().to_numpy()
+        first = np.empty(m, dtype=bool)
+        first[0] = True
+        first[1:] = cs[1:] != cs[:-1]
+        prev = np.empty(m, dtype=ds.dtype)
+        prev[0] = 0
+        prev[1:] = gmin[:-1]
+        keep = first | (ds < prev)
+        counts = np.bincount(cs[keep], minlength=len(cst))
+        fr_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        kept = order[keep]
+        fr_tf_vals = tfs[:m][kept].astype(np.int32)
+        fr_dl_vals = dls[:m][kept].astype(np.int32)
+        max_imp = np.zeros(len(cst), dtype=np.float32)  # finalized later
 
     blobs: list[bytes] = []
     tfo = np.empty(len(cst), dtype=np.int32)
@@ -496,39 +549,174 @@ def _chunks_recordbatch(dictionary, codes, ids, tfs, dls, cst, cen,
         dlo[i] = len(g) + len(t)
 
     term_out = pc.take(dictionary, pa.array(codes[cst].astype(np.int32)))
+    arrays = [
+        term_out,
+        pa.array(ids[cst]),
+        pa.array(ids[cen - 1]),
+        pa.array((cen - cst).astype(np.int32)),
+        pa.array(sum_tf.astype(np.int64)),
+        pa.array(max_tf.astype(np.int32)),
+        pa.array(min_dl.astype(np.int32)),
+        pa.array(max_imp.astype(np.float32)),
+        pa.array(tfo),
+        pa.array(dlo),
+        pa.array(blobs, type=pa.binary()),
+    ]
+    if avgdl32 is None:
+        arrays += [
+            pa.ListArray.from_arrays(pa.array(fr_off),
+                                     pa.array(fr_tf_vals, type=pa.int32())),
+            pa.ListArray.from_arrays(pa.array(fr_off),
+                                     pa.array(fr_dl_vals, type=pa.int32())),
+        ]
     return pa.RecordBatch.from_arrays(
-        [
-            term_out,
-            pa.array(ids[cst]),
-            pa.array(ids[cen - 1]),
-            pa.array((cen - cst).astype(np.int32)),
-            pa.array(sum_tf.astype(np.int64)),
-            pa.array(max_tf.astype(np.int32)),
-            pa.array(min_dl.astype(np.int32)),
-            pa.array(max_imp.astype(np.float32)),
-            pa.array(tfo),
-            pa.array(dlo),
-            pa.array(blobs, type=pa.binary()),
-        ],
-        schema=_pa_postings_schema(),
+        arrays, schema=_pa_postings_schema(frontier=avgdl32 is None),
     )
 
 
 def write_postings_sorted(chunks: DataFrame, out_path: str,
-                          partitions: int | None = None) -> None:
+                          partitions: int | None = None,
+                          post_sort=None) -> None:
     """Write chunk rows range-partitioned + sorted by (term, doc_lo): tight
     per-row-group term min/max stats → query-term predicates prune to the
-    few row groups actually holding the term."""
+    few row groups actually holding the term.
+
+    ``post_sort``: optional order-preserving DataFrame transform applied
+    AFTER the sort, before the write (the deferred-impact finalize) — placed
+    here so the range-sampling pass and the shuffle both read the cheap
+    cached input and the transform runs exactly once, on the sorted
+    stream."""
     spark = chunks.sparkSession
     P = partitions or min(
         64, max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
     )
-    (chunks.repartitionByRange(P, "term", "doc_lo")
-     .sortWithinPartitions("term", "doc_lo")
-     .write.mode("overwrite").parquet(out_path))
+    out = (chunks.repartitionByRange(P, "term", "doc_lo")
+           .sortWithinPartitions("term", "doc_lo"))
+    if post_sort is not None:
+        out = post_sort(out)
+    out.write.mode("overwrite").parquet(out_path)
 
 
-def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
+# Doc-stat carrier rows (segment build, deferred-impact mode): the fused
+# tokenize pass is the ONLY place doc_len exists, so each task packs its
+# (doc_id, doc_len) pairs — zero-token docs excluded — into chunk-schema rows
+# with term '' (real terms are ≥ 2 chars, so '' can never collide). Packing
+# ~64k docs per row keeps the stat rows a vanishing fraction of the chunk
+# table (one row per ~64k docs vs one chunk row per ≤ chunk_size postings);
+# one row per doc would INVERT that ratio at 10^12 docs. blob layout: int64
+# doc_ids ++ int32 doc_lens, split point in tf_off.
+_DOCSTAT_PACK = 65536
+
+DOCLEN_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("doc_len", IntegerType(), False),
+])
+
+
+def _docstat_recordbatch(stat_ids: list, stat_dls: list):
+    import pyarrow as pa
+    sids = np.concatenate(stat_ids)
+    sdls = np.concatenate(stat_dls).astype(np.int32)
+    o = np.argsort(sids, kind="stable")  # file order is already ~sorted
+    sids, sdls = sids[o], sdls[o]
+    cols: dict[str, list] = {k: [] for k in
+                             ("lo", "hi", "n", "tot", "off", "blob")}
+    for s in range(0, len(sids), _DOCSTAT_PACK):
+        e = min(s + _DOCSTAT_PACK, len(sids))
+        cols["lo"].append(int(sids[s]))
+        cols["hi"].append(int(sids[e - 1]))
+        cols["n"].append(e - s)
+        cols["tot"].append(int(sdls[s:e].sum()))
+        cols["off"].append(8 * (e - s))
+        cols["blob"].append(sids[s:e].tobytes() + sdls[s:e].tobytes())
+    k = len(cols["lo"])
+    empty_list = pa.ListArray.from_arrays(
+        pa.array(np.zeros(k + 1, dtype=np.int32)),
+        pa.array([], type=pa.int32()))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([""] * k, type=pa.string()),
+            pa.array(cols["lo"], type=pa.int64()),
+            pa.array(cols["hi"], type=pa.int64()),
+            pa.array(cols["n"], type=pa.int32()),
+            pa.array(cols["tot"], type=pa.int64()),
+            pa.array([0] * k, type=pa.int32()),
+            pa.array([0] * k, type=pa.int32()),
+            pa.array([0.0] * k, type=pa.float32()),
+            pa.array(cols["off"], type=pa.int32()),
+            pa.array([0] * k, type=pa.int32()),
+            pa.array(cols["blob"], type=pa.binary()),
+            empty_list,
+            empty_list,
+        ],
+        schema=_pa_postings_schema(frontier=True),
+    )
+
+
+def decode_doclen_rows(stat_rows: DataFrame) -> DataFrame:
+    """Doc-stat carrier rows → (doc_id, doc_len) DataFrame (one row per doc
+    with ≥ 1 kept token — exactly the reference's N population,
+    src/ForwardIndex.cpp:152)."""
+    def go(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            blobs = batch.column("blob").to_pylist()
+            offs = batch.column("tf_off").to_pylist()
+            ids = np.concatenate([np.frombuffer(bb[:o], dtype=np.int64)
+                                  for bb, o in zip(blobs, offs)])
+            dls = np.concatenate([np.frombuffer(bb[o:], dtype=np.int32)
+                                  for bb, o in zip(blobs, offs)])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(dls)],
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("doc_len", pa.int32())]),
+            )
+
+    return stat_rows.select("blob", "tf_off").mapInArrow(go, DOCLEN_SCHEMA)
+
+
+def finalize_max_impact(chunks: DataFrame, avgdl: float,
+                        cfg: BuildConfig) -> DataFrame:
+    """Deferred-impact chunks → final POSTINGS_SCHEMA: per-chunk max_impact
+    evaluated over the stored (tf, dl) Pareto frontier with the now-known
+    avgdl, frontier columns dropped. Same float32 arithmetic as the eager
+    path (and as query-time decode), so the stored value remains an ATTAINED
+    query-time impact — the exactness precondition of the batch tier's chunk
+    prefilter (operators/query.py:_plan_chunk_prune); verified bit-identical
+    to the eager path's output on a 2k-doc corpus. A vectorized pandas_udf
+    over ONLY the two frontier columns — the blob bytes (the bulk of every
+    chunk row) never cross the JVM↔Python boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    k1 = np.float32(cfg.bm25.k1)
+    b = np.float32(cfg.bm25.b)
+    # avgdl == 0 ⇔ no doc has tokens ⇔ no real chunks exist; the guard only
+    # keeps the f32 math finite on that empty plan
+    avgdl32 = np.float32(avgdl if avgdl > 0 else 1.0)
+
+    @pandas_udf("float")
+    def _frontier_max(fr_tf: pd.Series, fr_dl: pd.Series) -> pd.Series:
+        one = np.float32(1.0)
+        lens = fr_tf.str.len().to_numpy(dtype=np.int64)
+        if len(lens) == 0:
+            return pd.Series(np.empty(0, dtype=np.float32))
+        if not (lens > 0).all():  # every chunk has ≥ 1 posting
+            raise ValueError("chunk row with empty impact frontier")
+        ftf = np.concatenate(fr_tf.to_numpy()).astype(np.float32)
+        fdl = np.concatenate(fr_dl.to_numpy()).astype(np.float32)
+        imp = ftf * (k1 + one) / (ftf + k1 * (one - b + b * (fdl / avgdl32)))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        return pd.Series(np.maximum.reduceat(imp, starts).astype(np.float32))
+
+    out_cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    return (chunks.withColumn("max_impact",
+                              _frontier_max("fr_tf", "fr_dl"))
+            .select(*out_cols))
+
+
+def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float | None,
                                  cfg: BuildConfig) -> DataFrame:
     """NO-SHUFFLE postings build (the default, Lucene-segment-style).
 
@@ -556,10 +744,20 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
     partition counts, compact small chunks with a follow-up merge keyed by
     term (cheap: per-term metadata, not postings, drives the decision). The
     shuffle-based variant (build_posting_chunks) remains available as
-    cfg.postings_mode='global'."""
+    cfg.postings_mode='global'.
+
+    ``avgdl=None`` (the build_index default since r6): deferred-impact mode.
+    This pass is the corpus's ONLY tokenize — doc_len/avgdl no longer come
+    from a second tokenize in the ids stage (measured: that pass was 11 s of
+    the 17 s 8-core ids stage at 400k docs, pure duplicate work). Chunks
+    carry a (tf, dl) Pareto frontier instead of max_impact (see
+    _chunks_recordbatch) and each task additionally emits doc-stat carrier
+    rows (term '', see _docstat_recordbatch) from which build_index derives
+    the doclen table, N, total_len and avgdl before finalize_max_impact
+    evaluates the stored frontiers."""
     k1 = np.float32(cfg.bm25.k1)
     b = np.float32(cfg.bm25.b)
-    avgdl32 = np.float32(avgdl)
+    avgdl32 = np.float32(avgdl) if avgdl is not None else None
     chunk_size = cfg.chunk_size
 
     def builder(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
@@ -574,6 +772,8 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
         tf_parts: list = []
         dl_parts: list = []
         seg_parts: list = []
+        stat_ids: list = []     # deferred-impact mode: per-doc (id, len)
+        stat_dls: list = []
 
         for batch in batches:
             if batch.num_rows == 0:
@@ -612,6 +812,10 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
             tf_parts.append(cnt.astype(np.int64))
             dl_parts.append(doc_lens[did_local].astype(np.int64))
             seg_parts.append(seg_ids[did_local])
+            if avgdl32 is None:
+                mask = doc_lens > 0  # zero-token docs are outside N
+                stat_ids.append(doc_ids[mask].astype(np.int64))
+                stat_dls.append(doc_lens[mask])
 
         if not ids_parts:
             return
@@ -650,6 +854,8 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
         cen = np.array(c_ends, dtype=np.int64)
         yield _chunks_recordbatch(enc_all.dictionary, codes, ids, tfs, dls,
                                   cst, cen, k1, b, avgdl32)
+        if avgdl32 is None and stat_ids:
+            yield _docstat_recordbatch(stat_ids, stat_dls)
 
     cols = ["doc_id", "content"]
     if "seg" in [f.name for f in corpus_ids.schema.fields]:
@@ -659,7 +865,8 @@ def build_posting_chunks_segment(corpus_ids: DataFrame, avgdl: float,
         # explicit segment sizing; range partitioning by doc_id keeps the
         # per-segment doc ranges disjoint (the correctness invariant)
         src = src.repartitionByRange(cfg.segment_partitions, "doc_id")
-    return src.mapInArrow(builder, schema=POSTINGS_SCHEMA)
+    out_schema = POSTINGS_BUILD_SCHEMA if avgdl is None else POSTINGS_SCHEMA
+    return src.mapInArrow(builder, schema=out_schema)
 
 
 def build_posting_chunks(tokens: DataFrame, avgdl: float, cfg: BuildConfig,
@@ -796,6 +1003,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
     )
     base_fp = {
         "format": FORMAT_VERSION,
+        # build-intermediate layout (ids schema / stats source), independent
+        # of the serving format: bumping invalidates old manifests without
+        # making old INDEXES unreadable. 2 = r6 single-tokenize flow (no
+        # doc_len in ids; doclen table + stats derived from the postings
+        # pass; deferred max_impact finalize).
+        "build_layout": 2,
         "chunk_size": cfg.chunk_size,
         "doc_block": cfg.doc_block, "postings_mode": cfg.postings_mode,
         "segment_partitions": cfg.segment_partitions,
@@ -807,22 +1020,20 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
 
     ids_path = os.path.join(out_root, "ids")
     forward_path = os.path.join(out_root, "forward")
+    doclen_path = os.path.join(out_root, "doclen")
+    segment_mode = cfg.postings_mode == "segment"
 
     def stage_ids() -> dict:
-        # One corpus pass: deterministic ids + content hashes + doc_len (the
-        # Arrow tokenize subset, fused after the id exchange), materialized
+        # One corpus pass: deterministic ids + content hashes, materialized
         # so later stages column-prune what they need (content is only read
         # again by the postings tokenizer) and resume never re-runs the
-        # assignment. N/total_len are observed DURING this write (metric
-        # accumulators over the same pass), so the stats stage needs no job
-        # at all and — crucially — no longer waits on the docs rewrite:
-        # stats depends only on ids, which lets the docs stage run
-        # CONCURRENTLY with the postings build (r5, VERDICT r4 next #8 —
-        # the docs rewrite was ~1 s of pure serial critical path at 16
-        # cores, and its tasks now pack into the postings stage's straggler
-        # tail).
-        from pyspark.sql import Observation
-        obs = Observation("ids_stats")
+        # assignment. Segment mode (default) stores NO doc_len here: the
+        # fused postings tokenize is the build's ONLY tokenize and derives
+        # doc_len/avgdl itself (r6 — the append_doc_len pass existed solely
+        # to learn avgdl before the postings stage and duplicated its
+        # tokenize wholesale: measured 11 s of the 17 s 8-core ids stage at
+        # 400k docs, ~30 s of 45 s at 2 cores — both DRAM-bandwidth-bound,
+        # the worst-scaling work in the whole build).
         ids = assign_doc_ids(corpus, cfg.id_partitions).select(
             "doc_id",
             F.substring(
@@ -832,6 +1043,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             F.sha2(F.col("content"), 256).alias("content_sha256"),
             "content", "seg",
         )
+        if segment_mode:
+            ids.write.mode("overwrite").parquet(ids_path)
+            return {"rows": _parquet_rows(ids_path)}
+        # global mode chunks pre-tokenized token rows and needs avgdl BEFORE
+        # its postings stage: keep the fused doc_len + observed stats here
+        from pyspark.sql import Observation
+        obs = Observation("ids_stats")
         with_len = append_doc_len(ids).observe(
             obs,
             F.sum((F.col("doc_len") > 0).cast("long")).alias("N"),
@@ -854,24 +1072,48 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         runner.run("forward", stage_forward, output=forward_path)
 
     def stage_docs() -> dict:
-        # content-pruned scan of ids; doc_len > 0 drops zero-token docs,
-        # mirroring the reference (src/ForwardIndex.cpp:152). Runs in a
-        # SIDE THREAD concurrently with the postings build (see below) —
-        # stats no longer depends on it (observed during the ids write).
-        docs = (
-            spark.read.parquet(ids_path)
-            .where(F.col("doc_len") > 0)
-            .select("doc_id", "uid", "repo", "path", "commit", "lang",
-                    "doc_len", "content_sha256")
-        )
+        # reference parity: docs = rows with ≥ 1 kept token
+        # (src/ForwardIndex.cpp:152). Segment mode joins the content-pruned
+        # ids scan with the doclen table the postings tokenize emitted —
+        # metadata-only rows on both sides, no content bytes move, and the
+        # zero-token filter IS the inner join (such docs have no doclen
+        # row). Runs in a SIDE THREAD overlapped with lexicon+suggest.
+        if segment_mode:
+            docs = (
+                spark.read.parquet(ids_path)
+                .select("doc_id", "uid", "repo", "path", "commit", "lang",
+                        "content_sha256")
+                .join(spark.read.parquet(doclen_path), "doc_id")
+                .select("doc_id", "uid", "repo", "path", "commit", "lang",
+                        "doc_len", "content_sha256")
+            )
+        else:
+            docs = (
+                spark.read.parquet(ids_path)
+                .where(F.col("doc_len") > 0)
+                .select("doc_id", "uid", "repo", "path", "commit", "lang",
+                        "doc_len", "content_sha256")
+            )
         docs.write.mode("overwrite").parquet(paths.docs)
         return {"rows": _parquet_rows(paths.docs)}
 
     def stage_stats() -> dict:
-        im = runner.metrics.get("ids", {})
-        if "N" in im and "total_len" in im:  # observed during the ids write
+        # N/total_len were observed during the stage that tokenized the
+        # corpus (postings in segment mode, ids in global mode); metrics
+        # persist in the manifest so resume keeps them across processes.
+        src_stage = "postings" if segment_mode else "ids"
+        im = runner.metrics.get(src_stage, {})
+        if "N" in im and "total_len" in im:
             N, total_len = int(im["N"]), int(im["total_len"])
-        else:  # ids stage skipped from a pre-observation manifest
+        elif segment_mode:  # skipped stage recorded by a pre-metrics build
+            row = (
+                spark.read.parquet(doclen_path)
+                .agg(F.count("*").alias("N"),
+                     F.sum("doc_len").alias("total_len"))
+                .collect()[0]
+            )
+            N, total_len = int(row["N"]), int(row["total_len"] or 0)
+        else:
             row = (
                 spark.read.parquet(ids_path)
                 .where(F.col("doc_len") > 0)
@@ -894,15 +1136,100 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
             json.dump(stats, f, indent=2)
         return {"rows": N}
 
-    runner.run("stats", stage_stats, output=paths.stats)
+    from pyspark import StorageLevel
+    _chunks_handoff: dict = {}
 
-    with open(paths.stats) as f:
-        stats = json.load(f)
+    def stage_postings_segment() -> dict:
+        # THE corpus tokenize (the only one in the build, r6): the fused
+        # builder runs in deferred-impact mode — chunks carry (tf, dl)
+        # Pareto frontiers plus doc-stat carrier rows. The doclen write is
+        # the first action (populating the persist); N/total_len/avgdl come
+        # from a footer-cheap aggregate over it; finalize_max_impact then
+        # turns frontiers into attained per-chunk maxes with that avgdl.
+        ids = spark.read.parquet(ids_path).select("doc_id", "content", "seg")
+        raw = build_posting_chunks_segment(ids, None, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        try:
+            decode_doclen_rows(raw.where(F.col("term") == "")) \
+                .write.mode("overwrite").parquet(doclen_path)
+            row = (
+                spark.read.parquet(doclen_path)
+                .agg(F.count("*").alias("N"),
+                     F.sum("doc_len").alias("total_len"))
+                .collect()[0]
+            )
+            N, total_len = int(row["N"]), int(row["total_len"] or 0)
+            avgdl = float(total_len) / N if N else 0.0
+            real = raw.where(F.col("term") != "")
+            if cfg.serving_layout == "term":
+                # Term-locality rewrite for the serving tier: segment-mode
+                # output files each span ~the whole vocab, so a query-term
+                # predicate prunes nothing and every file is scanned per
+                # query (measured: ~85% of WAND latency was this read).
+                # Range-partition + sort by (term, doc_lo) so Parquet footer
+                # min/max confine each term to 1-2 row groups — the on-disk
+                # analog of the reference's contiguous per-term posting
+                # regions (lexicon offset + seek). Chunk ROWS are shuffled
+                # here (compressed postings, a fraction of corpus bytes),
+                # never token rows — the build itself stays no-shuffle.
+                # The raw cache (populated by the doclen write) feeds the
+                # range-sampling pass, the shuffle, and the lexicon below;
+                # finalize runs post-sort so blobs stay cached exactly once
+                # (a second finalized-side persist measured +30 s at 2
+                # cores — one full extra serialize of the blob bytes).
+                write_postings_sorted(
+                    real, paths.postings,
+                    post_sort=lambda df: finalize_max_impact(df, avgdl, cfg))
+                # NO lexicon handoff here (unlike global mode): the lexicon
+                # aggregate needs 4 small columns and the written postings
+                # parquet serves them column-pruned — blobs never read —
+                # which measured cheaper at 2 cores than re-running the
+                # finalize udf over the cache, and lets the cache free now.
+            else:
+                finalize_max_impact(real, avgdl, cfg) \
+                    .write.mode("overwrite").parquet(paths.postings)
+        finally:
+            # doclen + postings are on disk: the cache is fully consumed
+            raw.unpersist(blocking=False)
+        return {"rows": _parquet_rows(paths.postings),
+                "N": N, "total_len": total_len}
 
-    # docs rewrite ∥ postings build: independent stages (docs = column-pruned
-    # ids scan; postings reads ids separately), same SparkSession, separate
-    # thread — the docs tasks fill the postings stage's scheduling gaps and
-    # straggler tails instead of occupying the serial critical path.
+    def stage_postings_global() -> dict:
+        with open(paths.stats) as f:
+            stats = json.load(f)
+        tokens = (
+            spark.read.parquet(forward_path)
+            if cfg.materialize_forward
+            else tokenize_tf(spark.read.parquet(ids_path), cfg.tokenizer)
+        )
+        chunks = build_posting_chunks(tokens, stats["avgdl"], cfg)
+        if cfg.serving_layout == "term":
+            # see stage_postings_segment for the rationale
+            chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+            ok = False
+            try:
+                write_postings_sorted(chunks, paths.postings)
+                ok = True
+            finally:
+                if not ok:
+                    chunks.unpersist()
+            _chunks_handoff["df"] = chunks
+        else:
+            chunks.write.mode("overwrite").parquet(paths.postings)
+        return {"rows": _parquet_rows(paths.postings)}
+
+    if segment_mode:
+        # r6 stage order: postings runs FIRST (it owns the tokenize) and
+        # derives doclen/N/total_len; stats persists them from the metrics.
+        runner.run("postings", stage_postings_segment, output=paths.postings)
+        runner.run("stats", stage_stats, output=paths.stats)
+    else:
+        runner.run("stats", stage_stats, output=paths.stats)
+        runner.run("postings", stage_postings_global, output=paths.postings)
+
+    # docs rewrite ∥ lexicon+suggest: docs depends only on ids (+doclen in
+    # segment mode), so its tasks fill the lexicon/suggest stages'
+    # scheduling gaps instead of occupying the serial critical path.
     import threading
     _docs_err: list[BaseException] = []
 
@@ -914,61 +1241,6 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
 
     docs_thread = threading.Thread(target=_docs_job, name="docs-stage")
     docs_thread.start()
-
-    def stage_postings() -> dict:
-        if cfg.postings_mode == "segment":
-            ids = spark.read.parquet(ids_path).select("doc_id", "content", "seg")
-            chunks = build_posting_chunks_segment(ids, stats["avgdl"], cfg)
-        else:
-            tokens = (
-                spark.read.parquet(forward_path)
-                if cfg.materialize_forward
-                else tokenize_tf(spark.read.parquet(ids_path), cfg.tokenizer)
-            )
-            chunks = build_posting_chunks(tokens, stats["avgdl"], cfg)
-        if cfg.serving_layout == "term":
-            # Term-locality rewrite for the serving tier: segment-mode output
-            # files each span ~the whole vocab, so a query-term predicate
-            # prunes nothing and every file is scanned per query (measured:
-            # ~85% of WAND latency was this read). Materialize the raw
-            # chunks, then range-partition + sort by (term, doc_lo) so
-            # Parquet footer min/max confine each term to 1-2 row groups —
-            # the on-disk analog of the reference's contiguous per-term
-            # posting regions (lexicon offset + seek). Chunk ROWS are
-            # shuffled here (compressed postings, a fraction of corpus
-            # bytes), never token rows — the build itself stays no-shuffle.
-            # One materialization, not two: repartitionByRange executes its
-            # input an extra time to sample range bounds, so the raw chunks
-            # must be reusable — r2 wrote them to a _raw parquet dir and
-            # re-read it (a full extra write+read of the postings, VERDICT
-            # r2). persist() keeps the builder's output in executor
-            # memory/disk instead: the sampling pass populates the cache and
-            # the shuffle reads it back, with no parquet encode/decode.
-            from pyspark import StorageLevel
-            chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
-            ok = False
-            try:
-                write_postings_sorted(chunks, paths.postings)
-                ok = True
-            finally:
-                if not ok:
-                    chunks.unpersist()
-            # hand the still-persisted chunk rows to the lexicon stage: its
-            # aggregation reads the cache instead of re-reading the postings
-            # parquet (write_postings_sorted only repartitions + sorts, so
-            # the rows are identical). Unpersisted after the lexicon runs.
-            _chunks_handoff["df"] = chunks
-        else:
-            chunks.write.mode("overwrite").parquet(paths.postings)
-        return {"rows": _parquet_rows(paths.postings)}
-
-    _chunks_handoff: dict = {}
-    try:
-        runner.run("postings", stage_postings, output=paths.postings)
-    finally:
-        docs_thread.join()
-    if _docs_err:
-        raise _docs_err[0]
 
     def stage_lexicon() -> dict:
         cached = _chunks_handoff.get("df")
@@ -996,10 +1268,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_root: str,
         return {"rows": _parquet_rows(paths.lexicon)}
 
     try:
-        runner.run("lexicon", stage_lexicon, output=paths.lexicon)
+        try:
+            runner.run("lexicon", stage_lexicon, output=paths.lexicon)
+        finally:
+            # segment mode hands off a view over the cached raw chunks;
+            # global mode hands off the cached chunks themselves
+            cached = _chunks_handoff.get("cache", _chunks_handoff.get("df"))
+            if cached is not None:
+                cached.unpersist()
     finally:
-        if "df" in _chunks_handoff:
-            _chunks_handoff["df"].unpersist()
+        docs_thread.join()
+    if _docs_err:
+        raise _docs_err[0]
 
     if cfg.build_suggest:
         def stage_suggest() -> dict:
