@@ -620,6 +620,22 @@ def q_emb_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"), "component")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs scoped by
+    TRAINED spherical-k-means clusters (seed-7 init, exactly
+    _IVF_TRAIN_ITERS Lloyd iterations so the unrolled-SQL oracle reproduces
+    the centroids), exact cosine ≥ τ within a cluster. Complements the LSH
+    modality (emb_near_dup): data-adaptive clusters catch pairs random
+    hyperplanes split across buckets."""
+    from nextsearch_api_spark.operators.similarity import semantic_dedup_pairs
+
+    # max_cluster lifted far above the gate corpus size: the oracle has no
+    # guard, so it must not bind here (pytest exercises the guard + audit)
+    return semantic_dedup_pairs(_emb(spark, sf_dir), n_clusters=16, seed=7,
+                                train_iters=_IVF_TRAIN_ITERS, tau=0.3,
+                                max_cluster=1_000_000)
+
+
 def q_lsh_guard_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Guard-audit of the MinHash-LSH silent caps (no-silent-caps rule):
     docs that produced no shingles and buckets dropped by max_bucket,
@@ -926,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "emb_near_dup": q_emb_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "emb_near_dup_components": q_emb_near_dup_components,
         "lsh_guard_metrics": q_lsh_guard_metrics,
         "near_dup_guard_metrics": q_near_dup_guard_metrics,
@@ -1706,10 +1723,14 @@ WHERE rank <= 10"""
     # top-k then mirror ann_ivf_topk with the converged centroids. All
     # float64 on both sides; assignment margins (~1e-2) dwarf the last-ulp
     # summation-order drift, so argmax decisions agree.
-    kmeans_iters = []
-    for it in range(1, _IVF_TRAIN_ITERS + 1):
-        p = it - 1
-        kmeans_iters.append(f"""
+    def _kmeans_chain(n_iters: int) -> str:
+        """Unrolled spherical-k-means CTE stages over a ``vn(vec_id, u)``
+        CTE of unit vectors, starting from ``cents0`` — shared by the
+        trained-IVF and SemDeDup oracles (their ``vn`` populations differ)."""
+        iters = []
+        for it in range(1, n_iters + 1):
+            p = it - 1
+            iters.append(f"""
 a{it} AS (
   SELECT vec_id, u, cid,
          row_number() OVER (PARTITION BY vec_id
@@ -1727,7 +1748,9 @@ cents{it} AS (
               THEN list_transform(s.sv, x -> x / sqrt(list_dot_product(s.sv, s.sv)))
               ELSE c.cv END AS cv
   FROM cents{p} c LEFT JOIN sv{it} s ON s.cid = c.cid)""")
-    kmeans_chain = ",".join(kmeans_iters)
+        return ",".join(iters)
+
+    kmeans_chain = _kmeans_chain(_IVF_TRAIN_ITERS)
     n_it = _IVF_TRAIN_ITERS
     sql["ann_ivf_trained_topk"] = f"""
 WITH cents0(cid, cv) AS (VALUES
@@ -1764,6 +1787,43 @@ SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
          row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rank
   FROM sims) t
 WHERE rank <= 10"""
+
+    # semantic_dedup oracle (SemDeDup, Abbas et al. 2023): the SAME unrolled
+    # spherical-k-means chain — over ALL vectors this time (dedup has no
+    # designated query row) — then within-cluster pairwise exact cosine with
+    # the identical round(·,6) ≥ τ rule the Spark operator applies. The
+    # argmax assignment is scale-invariant, so assigning raw v ≡ unit u.
+    sql["semantic_dedup"] = f"""
+WITH cents0(cid, cv) AS (VALUES
+    {cent_rows}),
+vecs AS (SELECT vec_id,
+                list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         FROM embeddings),
+vn AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(v, v) > 0
+              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+              ELSE v END AS u
+  FROM vecs),{_kmeans_chain(_IVF_TRAIN_ITERS)},
+assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(u, cv) DESC, cid) AS rn
+  FROM vn CROSS JOIN cents{n_it}),
+cells AS (
+  SELECT a.vec_id, v.v, a.cid AS cell
+  FROM assign a JOIN vecs v ON v.vec_id = a.vec_id
+  WHERE a.rn = 1)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE sqrt(list_dot_product(a.v, a.v))
+        * sqrt(list_dot_product(b.v, b.v)) > 0) t
+WHERE cos_sim >= 0.3"""
 
     # pq_adc_topk oracle: per-subspace Euclidean k-means IS SQL-expressible
     # the same way the IVF oracle is — the seed-11 codebook init is inlined

@@ -323,6 +323,7 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
         )
         from nextsearch_api_spark.operators.similarity import (
             ann_lsh_topk, build_ann_index, embedding_near_dup_pairs,
+            semantic_dedup_pairs,
         )
 
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -365,6 +366,12 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
                 docs, num_hashes=8, rows_per_band=2).count(),
             "emb_near_dup": lambda: embedding_near_dup_pairs(
                 emb, n_planes=8, tau=0.8).count(),
+            # SemDeDup: trained-cluster-scoped exact cosine (train + assign
+            # + within-cluster self-join); contrast with the random-plane
+            # emb_near_dup above — same candidate-volume shape Σ|c|²
+            "semantic_dedup": lambda: semantic_dedup_pairs(
+                emb, n_clusters=16, seed=7, train_iters=3, tau=0.8,
+                max_cluster=100_000).count(),
             "ann_lsh_probe": lambda: ann_lsh_topk(
                 spark, ann_path, H, qv, k=10).count(),
             "extract_features": lambda: extract_features(

@@ -173,6 +173,94 @@ def _near_dup_buckets(emb: DataFrame, n_planes: int, seed: int,
                       F.col(vec_col).alias("v")).withColumn("bucket", b(F.col("v")))
 
 
+def semantic_dedup_pairs(emb: DataFrame, n_clusters: int = 16, seed: int = 7,
+                         train_iters: int = 3, tau: float = 0.9,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         max_cluster: int = 2000,
+                         centroids: "np.ndarray | None" = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-duplicate pairs scoped by TRAINED k-means clusters instead of
+    random LSH buckets: train spherical k-means (train_ivf_centroids, the
+    same deterministic trainer the IVF ANN tier uses), assign every vector
+    to its argmax-cosine cluster, and compare pairs ONLY within a cluster
+    (exact cosine ≥ ``tau``).
+
+    Complements ``embedding_near_dup_pairs``: random hyperplanes split a
+    dense semantic neighborhood across 2^n_planes sign patterns (pairs
+    straddling any plane are missed), while data-adaptive centroids pull
+    whole neighborhoods into one cluster — the published trade-off SemDeDup
+    is built on. Candidate volume is Σ_c |c|², never N²; ``max_cluster``
+    drops degenerate clusters the same way lsh_candidate_pairs guards
+    buckets (audit with ``semantic_dedup_guard_metrics``). Feed the output
+    to dedup.connected_components → near_dup_keepers to resolve clusters,
+    exactly like the LSH and MinHash modalities.
+
+    Scale shape: training is ONE zero-shuffle mapInPandas partial per Lloyd
+    iteration with a P×K-bounded collect (see train_ivf_centroids); the
+    assignment is a broadcast-centroid pandas_udf; the self-join shuffles
+    by cluster id. ``train_iters`` Lloyd iterations run with tol=0.0 so an
+    unrolled-SQL oracle from the same seeded init reproduces the centroids
+    exactly (the ann_ivf_trained_topk pattern)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, n_centroids=n_clusters, seed=seed,
+            max_iter=train_iters, tol=0.0, vec_col=vec_col)
+    cell = ivf_cell_udf(centroids)
+    t = (emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+         .withColumn("cell", cell(F.col("v"))))
+    t = t.withColumn(
+        "_csz", F.count("*").over(Window.partitionBy("cell"))
+    ).where(F.col("_csz") <= max_cluster).drop("_csz")
+    a, c = t.alias("a"), t.alias("b")
+    denom = F.expr(_norm_expr("a.v")) * F.expr(_norm_expr("b.v"))
+    # zero-norm guard (same as cosine_scores): all-zero embeddings get NULL
+    # cosine instead of an ANSI divide-by-zero; the tau filter drops them
+    cos = F.when(denom > 0, F.expr(_DOT.format(a="a.v", b="b.v")) / denom)
+    return (
+        a.join(c, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+                F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= tau)
+    )
+
+
+def semantic_dedup_guard_metrics(emb: DataFrame, n_clusters: int = 16,
+                                 seed: int = 7, train_iters: int = 3,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 max_cluster: int = 2000,
+                                 centroids: "np.ndarray | None" = None
+                                 ) -> DataFrame:
+    """One-row audit of ``semantic_dedup_pairs``' silent guards (the
+    no-silent-caps rule): degenerate clusters (> max_cluster vectors)
+    dropped — and with them how many vectors — plus the zero-norm count.
+
+    → (vecs_total, zero_norm_vecs, clusters_total, dropped_clusters,
+       dropped_vecs)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, n_centroids=n_clusters, seed=seed,
+            max_iter=train_iters, tol=0.0, vec_col=vec_col)
+    cell = ivf_cell_udf(centroids)
+    t = (emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+         .withColumn("cell", cell(F.col("v"))))
+    vec_counts = t.agg(
+        F.count("*").cast("long").alias("vecs_total"),
+        F.sum(F.when(F.expr(_norm_expr("v")) == 0, 1).otherwise(0))
+        .cast("long").alias("zero_norm_vecs"),
+    )
+    sizes = t.groupBy("cell").agg(F.count("*").alias("csz"))
+    cluster_counts = sizes.agg(
+        F.count("*").cast("long").alias("clusters_total"),
+        F.sum(F.when(F.col("csz") > max_cluster, 1).otherwise(0))
+        .cast("long").alias("dropped_clusters"),
+        F.sum(F.when(F.col("csz") > max_cluster, F.col("csz")).otherwise(0))
+        .cast("long").alias("dropped_vecs"),
+    )
+    return vec_counts.crossJoin(cluster_counts)
+
+
 def near_dup_guard_metrics(emb: DataFrame, n_planes: int = 8, seed: int = 42,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            max_bucket: int = 1000) -> DataFrame:

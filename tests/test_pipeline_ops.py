@@ -1171,3 +1171,85 @@ def test_bigram_lm_scores(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="smoothing"):
         bigram_lm_scores(docs, k=0)
+
+
+def test_semantic_dedup_matches_numpy_twin(spark):
+    """semantic_dedup_pairs == a numpy twin that assigns each vector to its
+    argmax-cosine trained centroid and takes exact within-cluster cosine
+    pairs >= tau. Clustered input so the trained centroids are meaningful."""
+    from nextsearch_api_spark.operators.similarity import (
+        semantic_dedup_pairs, train_ivf_centroids)
+
+    rng = np.random.default_rng(11)
+    bases = rng.standard_normal((3, 8))
+    rows, vecs = [], []
+    for b in bases:
+        for _ in range(6):
+            v = (b + rng.standard_normal(8) * 0.05).astype(np.float32)
+            rows.append((len(rows), [float(x) for x in v]))
+            vecs.append(v)
+    rows.append((len(rows), [0.0] * 8))          # zero-norm guard row
+    vecs.append(np.zeros(8, dtype=np.float32))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    tau, k, iters = 0.8, 4, 3
+    got = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+           for r in semantic_dedup_pairs(
+               emb, n_clusters=k, seed=7, train_iters=iters, tau=tau,
+               max_cluster=1000).collect()}
+
+    C = train_ivf_centroids(emb, n_centroids=k, seed=7, max_iter=iters,
+                            tol=0.0).astype(np.float64)
+    M = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    safe = np.where(norms == 0, 1.0, norms)
+    cell = np.argmax((M / safe[:, None]) @ C.T, axis=1)
+    want = {}
+    for i in range(len(M)):
+        for j in range(i + 1, len(M)):
+            if cell[i] != cell[j] or norms[i] == 0 or norms[j] == 0:
+                continue
+            cos = round(float(M[i] @ M[j] / (norms[i] * norms[j])), 6)
+            if cos >= tau:
+                want[(i, j)] = cos
+    assert got == want
+    assert len(want) >= 10                       # the clusters actually pair up
+    assert not any(18 in p for p in got)         # zero-norm row never pairs
+
+
+def test_semantic_dedup_guards_and_audit(spark):
+    """max_cluster drops a degenerate mega-cluster (never |c|^2-quadratic on
+    it) while pairs in healthy clusters survive; the guard-metrics audit
+    reports exactly what was dropped (no-silent-caps rule)."""
+    from nextsearch_api_spark.operators.similarity import (
+        semantic_dedup_pairs, semantic_dedup_guard_metrics)
+
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal(8)
+    b = rng.standard_normal(8)
+    rows = [(0, [float(x) for x in a]),
+            (1, [float(x) for x in a + rng.standard_normal(8) * 1e-3]),
+            (2, [0.0] * 8)]
+    for i in range(3, 43):                        # 40-vector degenerate cluster
+        rows.append((i, [float(x) for x in b * (1 + 0.01 * i)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(n_clusters=3, seed=7, train_iters=2, tau=0.99)
+    guarded = {(r["vec_a"], r["vec_b"])
+               for r in semantic_dedup_pairs(emb, max_cluster=10,
+                                             **kw).collect()}
+    assert (0, 1) in guarded                      # real near-dup survives
+    assert all(x < 3 and y < 3 for x, y in guarded)
+
+    unguarded = {(r["vec_a"], r["vec_b"])
+                 for r in semantic_dedup_pairs(emb, max_cluster=10_000,
+                                               **kw).collect()}
+    assert len(unguarded) > len(guarded)          # guard is what removed them
+    assert not any(2 in p for p in unguarded)     # zero-norm: no pair, no error
+
+    gkw = {k: v for k, v in kw.items() if k != "tau"}
+    m = semantic_dedup_guard_metrics(emb, max_cluster=10, **gkw).first()
+    assert m["vecs_total"] == 43
+    assert m["zero_norm_vecs"] == 1
+    assert m["dropped_clusters"] >= 1
+    assert m["dropped_vecs"] >= 40
