@@ -744,6 +744,36 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        [float(x) for x in qv], k=10)
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    2009) of the lexical BM25 top-10 (qid=2, 'spark window batch') with
+    the vector cosine top-10 — the modern two-tier serving pattern the
+    reference exposes only as separate endpoints (api_engine.cpp +
+    semantic_embedding.cpp). Rank-only fusion, so no score calibration
+    between the unbounded BM25 scale and [-1,1] cosine is needed."""
+    from nextsearch_api_spark.operators.fusion import rrf_fuse
+
+    lex = (q_bm25_topk(spark, sf_dir).where(F.col("qid") == 2)
+           .select("doc_id", "rank"))
+    vec = (q_cosine_topk(spark, sf_dir)
+           .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return rrf_fuse([lex, vec], k=60, topk=10)
+
+
+def q_hybrid_linear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, convex-combination rule: per-list min-max
+    normalized scores, equal weights. Score-sensitive counterpart of
+    q_hybrid_rrf_topk over the same two lists."""
+    from nextsearch_api_spark.operators.fusion import linear_fuse
+
+    lex = (q_bm25_topk(spark, sf_dir).where(F.col("qid") == 2)
+           .select("doc_id", "score"))
+    vec = (q_cosine_topk(spark, sf_dir)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("cos_sim").alias("score")))
+    return linear_fuse([lex, vec], weights=[0.5, 0.5], topk=10)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as gate DATA (VERDICT r5 next #8): recall@10 of the LSH
     and trained-IVF probes vs the brute-force cosine top-10 on the same
@@ -947,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_guard_metrics": q_lsh_guard_metrics,
         "near_dup_guard_metrics": q_near_dup_guard_metrics,
         "cosine_topk": q_cosine_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_linear_topk": q_hybrid_linear_topk,
         "label_centroid_norm": q_label_centroid_norm,
         "events_hourly": q_events_hourly,
         "user_sessions_batch": q_user_sessions_batch,
@@ -1925,6 +1957,49 @@ SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
   SELECT vec_id, cos,
          row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rank
   FROM sims) t
+WHERE rank <= 10"""
+
+    # hybrid fusion oracles: the two component queries nest verbatim
+    # (DuckDB allows WITH inside subqueries); RRF = sum of w/(k+rank) over
+    # the lists, linear = sum of w * min-max-normalized score. 1.0::DOUBLE
+    # etc. — bare 1.0 is DECIMAL in DuckDB and decimal division would
+    # diverge from Spark's float64 arithmetic.
+    sql["hybrid_rrf_topk"] = f"""
+WITH lex AS (SELECT doc_id, rank FROM ({topk_sql}) WHERE qid = 2),
+vec AS (SELECT vec_id AS doc_id, rank FROM ({sql["cosine_topk"]})),
+u AS (
+  SELECT doc_id, (1.0::DOUBLE) / (60.0::DOUBLE + rank) AS s FROM lex
+  UNION ALL
+  SELECT doc_id, (1.0::DOUBLE) / (60.0::DOUBLE + rank) FROM vec),
+f AS (SELECT doc_id, sum(s) AS sc, count(*)::BIGINT AS n_lists
+      FROM u GROUP BY 1)
+SELECT rank, doc_id, round(sc, 6) AS rrf_score, n_lists FROM (
+  SELECT doc_id, sc, n_lists,
+         row_number() OVER (ORDER BY round(sc, 9) DESC, doc_id) AS rank
+  FROM f) t
+WHERE rank <= 10"""
+
+    sql["hybrid_linear_topk"] = f"""
+WITH lex AS (SELECT doc_id, score::DOUBLE AS score
+             FROM ({topk_sql}) WHERE qid = 2),
+vec AS (SELECT vec_id AS doc_id, cos_sim::DOUBLE AS score
+        FROM ({sql["cosine_topk"]})),
+lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lex),
+vmm AS (SELECT min(score) AS mn, max(score) AS mx FROM vec),
+u AS (
+  SELECT doc_id, (0.5::DOUBLE) * (CASE WHEN mx > mn
+         THEN (score - mn) / (mx - mn) ELSE 1.0::DOUBLE END) AS s
+  FROM lex, lmm
+  UNION ALL
+  SELECT doc_id, (0.5::DOUBLE) * (CASE WHEN mx > mn
+         THEN (score - mn) / (mx - mn) ELSE 1.0::DOUBLE END)
+  FROM vec, vmm),
+f AS (SELECT doc_id, sum(s) AS sc, count(*)::BIGINT AS n_lists
+      FROM u GROUP BY 1)
+SELECT rank, doc_id, round(sc, 6) AS fused_score, n_lists FROM (
+  SELECT doc_id, sc, n_lists,
+         row_number() OVER (ORDER BY round(sc, 9) DESC, doc_id) AS rank
+  FROM f) t
 WHERE rank <= 10"""
 
     # ann_recall oracle: the per-method SQL composed — intersection size of
