@@ -774,6 +774,24 @@ def q_hybrid_linear_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_fuse([lex, vec], weights=[0.5, 0.5], topk=10)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein 1998) of the cosine
+    top-20 down to 5: greedy argmax of 0.5*relevance - 0.5*max-cos-to-
+    selected. lam=0.5 keeps (1-lam) exactly representable in float64 so
+    the unrolled-SQL oracle's constant matches bit-for-bit."""
+    from nextsearch_api_spark.operators.fusion import mmr_rerank
+    from nextsearch_api_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cand = (cosine_topk(emb.where(F.col("vec_id") != 0),
+                        [float(x) for x in qv], k=20)
+            .join(emb, "vec_id")
+            .select("vec_id", "cos_sim", "embedding"))
+    return mmr_rerank(cand, lam=0.5, k=5, id_col="vec_id",
+                      score_col="cos_sim")
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as gate DATA (VERDICT r5 next #8): recall@10 of the LSH
     and trained-IVF probes vs the brute-force cosine top-10 on the same
@@ -979,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_linear_topk": q_hybrid_linear_topk,
+        "mmr_rerank": q_mmr_rerank,
         "label_centroid_norm": q_label_centroid_norm,
         "events_hourly": q_events_hourly,
         "user_sessions_batch": q_user_sessions_batch,
@@ -2001,6 +2020,58 @@ SELECT rank, doc_id, round(sc, 6) AS fused_score, n_lists FROM (
          row_number() OVER (ORDER BY round(sc, 9) DESC, doc_id) AS rank
   FROM f) t
 WHERE rank <= 10"""
+
+    # mmr_rerank oracle: the greedy loop unrolled as one CTE stage per pick
+    # (the kmeans-chain pattern) — pick i = argmax over the remaining
+    # candidates of 0.5*score - 0.5*max cos to the selected set s{i-1},
+    # round-9 tie-broken by vec_id, exactly the operator's rule. lam=0.5 so
+    # both constants are exact doubles.
+    mmr_picks, mmr_out = [], []
+    for i in range(1, 6):
+        if i == 1:
+            mmr_picks.append("""
+p1 AS (
+  SELECT vec_id, u, (0.5::DOUBLE) * score AS obj FROM cand
+  ORDER BY round((0.5::DOUBLE) * score, 9) DESC, vec_id LIMIT 1),
+s1 AS (SELECT vec_id, u FROM p1)""")
+        else:
+            mmr_picks.append(f"""
+p{i} AS (
+  SELECT vec_id, u, obj FROM (
+    SELECT c.vec_id, c.u,
+           (0.5::DOUBLE) * c.score
+           - (0.5::DOUBLE) * (SELECT max(list_dot_product(c.u, s.u))
+                              FROM s{i - 1} s) AS obj
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i - 1})) t
+  ORDER BY round(obj, 9) DESC, vec_id LIMIT 1),
+s{i} AS (SELECT vec_id, u FROM s{i - 1}
+         UNION ALL SELECT vec_id, u FROM p{i})""")
+        mmr_out.append(
+            f"SELECT {i} AS rank, vec_id, round(obj, 6) AS mmr_score "
+            f"FROM p{i}")
+    sql["mmr_rerank"] = f"""
+WITH q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id,
+              list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+       FROM embeddings WHERE vec_id <> 0),
+sims AS (
+  SELECT e.vec_id, e.v,
+         list_dot_product(e.v, q.qv)
+         / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM ev e CROSS JOIN q),
+cand AS (
+  SELECT vec_id, round(cos, 6) AS score,
+         CASE WHEN sqrt(list_dot_product(v, v)) > 0
+              THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+              ELSE v END AS u
+  FROM (SELECT vec_id, v, cos,
+               row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rnk
+        FROM sims) t
+  WHERE rnk <= 20),{",".join(mmr_picks)}
+{" UNION ALL ".join(mmr_out)}"""
 
     # ann_recall oracle: the per-method SQL composed — intersection size of
     # each ANN top-10 with the exact cosine top-10 (DuckDB allows WITH

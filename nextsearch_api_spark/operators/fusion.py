@@ -24,10 +24,12 @@ back — no window over the list.
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rrf_fuse", "linear_fuse"]
+__all__ = ["rrf_fuse", "linear_fuse", "mmr_rerank"]
 
 
 def _check(rankings: list, weights: "list[float] | None") -> list:
@@ -84,6 +86,78 @@ def rrf_fuse(rankings: "list[DataFrame]", k: int = 60,
              .agg(F.sum("_s").alias("rrf_score"),
                   F.count("*").cast("long").alias("n_lists")))
     return _rank_out(fused, id_col, "rrf_score", topk)
+
+
+def mmr_rerank(candidates: DataFrame, lam: float = 0.5, k: int = 10,
+               id_col: str = "doc_id", score_col: str = "score",
+               vec_col: str = "embedding",
+               group_col: "str | None" = None) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+    1998): greedily pick k results maximizing
+    ``lam * relevance(d) - (1 - lam) * max_{s in selected} cos(d, s)``
+    — relevance traded against redundancy with what's already picked.
+
+    ``candidates`` carries (``id_col``, ``score_col``, ``vec_col``) — the
+    TOP-K' OUTPUT of a retrieval tier with its embeddings reattached, so
+    each group is ≤ k' rows. The greedy loop is inherently sequential
+    WITHIN a group; the honest distributed shape is applyInPandas per
+    ``group_col`` (per-query parallel, within-query a vectorized numpy
+    O(k·n·d) pass) — never a corpus-sized operation. Pass relevance
+    scores on a comparable scale (min-max normalize BM25 first if mixing
+    tiers; cosine is already bounded).
+
+    Determinism: the pick argument is rounded to 9 decimals and ties
+    break on ascending id, matching the unrolled-SQL oracle. The first
+    pick's objective is ``lam * score`` (no selected set yet). Zero-norm
+    embeddings contribute cosine 0 (orthogonal). Returns
+    (group?, rank, id, mmr_score) with mmr_score = the objective value at
+    selection time, rounded to 6.
+    """
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("lam must be in [0, 1]")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    grp = group_col if group_col is not None else "_g"
+    t = candidates if group_col is not None else \
+        candidates.withColumn("_g", F.lit(0))
+    gtype = dict(t.dtypes)[grp]
+    itype = dict(t.dtypes)[id_col]
+    out_schema = (f"{grp} {gtype}, rank int, {id_col} {itype}, "
+                  "mmr_score double")
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        U = V / norms
+        s = pdf[score_col].astype(np.float64).to_numpy()
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        avail = np.ones(n, dtype=bool)
+        # max cos to the selected set — None until the first pick: the max
+        # over one element is that element's cosine, which may be NEGATIVE
+        # (zero-init would silently clamp anti-correlated picks to 0)
+        max_sim = None
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            obj = lam * s if max_sim is None \
+                else lam * s - (1.0 - lam) * max_sim
+            key = np.round(obj, 9)
+            # argmax with ties on ascending id: mask out taken rows
+            key_m = np.where(avail, key, -np.inf)
+            best = np.flatnonzero(key_m == key_m.max())
+            pick = best[np.argmin(ids[best])]
+            rows.append((pdf[grp].iloc[0], rank, ids[pick],
+                         round(float(obj[pick]), 6)))
+            avail[pick] = False
+            sims_pick = U @ U[pick]
+            max_sim = sims_pick if max_sim is None \
+                else np.maximum(max_sim, sims_pick)
+        return pd.DataFrame(rows, columns=[grp, "rank", id_col, "mmr_score"])
+
+    out = (t.select(grp, id_col, score_col, vec_col)
+           .groupBy(grp).applyInPandas(_mmr, out_schema))
+    return out.drop("_g") if group_col is None else out
 
 
 def linear_fuse(rankings: "list[DataFrame]",

@@ -82,3 +82,48 @@ def test_fusion_topk_plan_is_take_ordered(spark):
     plan = rrf_fuse([lex, vec], topk=2)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mmr_rerank_hand_computed(spark):
+    """Exact-cosine construction: (1,0) vs (3,4) is cos 0.6, vs (0,1) is 0,
+    vs (-1,0) is -1. The anti-correlated candidate gets a diversity BONUS
+    (regression: a zero-initialized max-sim clamps negative cosines and
+    would rank it below the orthogonal one)."""
+    from nextsearch_api_spark.operators.fusion import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 1.0, [1.0, 0.0]), (2, 0.9, [3.0, 4.0]),
+         (3, 0.5, [0.0, 1.0]), (4, 0.4, [-1.0, 0.0])],
+        "doc_id long, score double, embedding array<double>")
+    out = [(r["rank"], r["doc_id"], r["mmr_score"])
+           for r in mmr_rerank(cand, lam=0.5, k=4)
+           .orderBy("rank").collect()]
+    # step2: id2 0.45-0.5*0.6=0.15, id3 0.25, id4 0.2-0.5*(-1)=0.7 → id4
+    # step3: id2 max-sim 0.6 → 0.15, id3 max-sim 0 → 0.25 → id3
+    # step4: id2 max-sim max(0.6,-0.6,0.8)=0.8 → 0.45-0.4=0.05
+    assert out == [(1, 1, 0.5), (2, 4, 0.7), (3, 3, 0.25), (4, 2, 0.05)]
+
+
+def test_mmr_rerank_groups_ties_and_bounds(spark):
+    from nextsearch_api_spark.operators.fusion import mmr_rerank
+
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, 1, 1.0, [1.0, 0.0]), (g, 2, 1.0, [1.0, 0.0]),
+                 (g, 3, 0.5, [0.0, 1.0])]
+    cand = spark.createDataFrame(
+        rows, "qid string, doc_id long, score double, embedding array<double>")
+    out = mmr_rerank(cand, lam=0.5, k=10, group_col="qid").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    # identical (score, vector) tie → lower doc_id first; k > n returns n;
+    # groups re-ranked independently and identically
+    want = [(1, 1), (2, 3), (3, 2)]
+    assert sorted(by_g["a"]) == want and sorted(by_g["b"]) == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cand, lam=1.5)
+    with _pytest.raises(ValueError, match="k must be positive"):
+        mmr_rerank(cand, k=0)
