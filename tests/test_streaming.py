@@ -355,3 +355,33 @@ def test_sessions_stream_equals_batch_twin(spark, tmp_path):
         if got == expected:
             break
     assert got == expected
+
+
+def test_stream_dedup_events(spark, tmp_path):
+    """At-least-once delivery dedup: originals in one file, a redelivered
+    subset in another; the deduped stream equals the distinct originals
+    exactly (content-deterministic because duplicate payloads are
+    identical). Watermark set far above the data span so no row is
+    late-dropped and no state expires mid-test — the test isolates the
+    dedup semantics from the horizon bound."""
+    from nextsearch_api_spark.streaming.ingest import stream_dedup_events
+
+    src = str(tmp_path / "src")
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .limit(200).cache())
+    n = ev.count()
+    ev.coalesce(1).write.parquet(src)
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dedup")
+    q = stream_dedup_events(spark, src, out, str(tmp_path / "ckpt_dd"),
+                            watermark="365 days")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    key = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    assert sorted(map(tuple, got.select(*key).collect())) == \
+        sorted(map(tuple, ev.select(*key).collect()))
