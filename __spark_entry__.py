@@ -896,6 +896,39 @@ def q_user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching (overlapping occurrences counted) — the
+    fulltext capability the reference's OR-of-terms query path lacks.
+    'table table' exercises the overlap convention: 'table table table'
+    counts 2."""
+    from nextsearch_api_spark.operators.phrase import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), "table table")
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by occurrence count of 'fast table' (ties →
+    ascending doc_id); sort+limit plans as TakeOrderedAndProject."""
+    from nextsearch_api_spark.operators.phrase import phrase_topk
+
+    return phrase_topk(_docs(spark, sf_dir), "fast table", k=10)
+
+
+def q_events_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.ingest.stream_dedup_events (at-least-once
+    delivery dedup): redeliver every 10th event, then keep one row per
+    event_id. Duplicate payloads are identical, so dropDuplicates'
+    arbitrary pick is content-deterministic and the result is exactly the
+    original events table. The streaming operator's watermark-bounded
+    state is exercised in tests/test_streaming.py; this entry pins the
+    dedup semantics against the SQL oracle."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dup = ev.unionByName(ev.where(F.col("event_id") % 10 == 0))
+    return (dup.dropDuplicates(["event_id"])
+            .select("event_id", "ts", "user_id", "event_type",
+                    F.round("value", 6).alias("value")))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate (batch form of the streaming rollup)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -999,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_linear_topk": q_hybrid_linear_topk,
         "mmr_rerank": q_mmr_rerank,
         "label_centroid_norm": q_label_centroid_norm,
+        "phrase_match": q_phrase_match,
+        "phrase_topk": q_phrase_topk,
+        "events_dedup_batch": q_events_dedup_batch,
         "events_hourly": q_events_hourly,
         "user_sessions_batch": q_user_sessions_batch,
         "events_asof": q_events_asof,
@@ -2153,6 +2189,38 @@ SELECT event_type, count(*)::BIGINT AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY 1"""
+
+    # phrase oracles: same raw tokenizer + 1-based sliding-window count;
+    # DuckDB's generate_series(1, n<=0) is already empty so only Spark
+    # needs the size guard. Overlapping occurrences count on both sides.
+    def _phrase_match_sql(toks: "list[str]") -> str:
+        m = len(toks)
+        cond = " AND ".join(f"toks[i + {j}] = '{t}'"
+                            for j, t in enumerate(toks))
+        return f"""
+SELECT doc_id, n_occurrences FROM (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(toks) - {m} + 1),
+             i -> {cond}))::BIGINT AS n_occurrences
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents) t) m
+WHERE n_occurrences > 0"""
+
+    sql["phrase_match"] = _phrase_match_sql(["table", "table"])
+    sql["phrase_topk"] = f"""
+SELECT rank, doc_id, n_occurrences FROM (
+  SELECT doc_id, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank
+  FROM ({_phrase_match_sql(["fast", "table"])}) m) t
+WHERE rank <= 10"""
+
+    # events_dedup_batch oracle: delivery dedup of identical redelivered
+    # rows recovers the original table exactly
+    sql["events_dedup_batch"] = """
+SELECT event_id, ts, user_id, event_type, round(value, 6) AS value
+FROM events"""
 
     sql["events_hourly"] = """
 SELECT event_type,
