@@ -196,6 +196,18 @@ def q_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENGINE_CACHE: dict[str, str] = {}
 
 
+def _engine_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents mapped to the corpus schema; path = zero-padded doc_id so
+    engine results map back to documents ids losslessly."""
+    return _docs(spark, sf_dir).select(
+        F.lit("r").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
+        F.lit("c").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
 def _engine_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir) a real index over documents mapped to the
     corpus schema; doc ordering chosen so engine ids = doc_id + 1."""
@@ -203,13 +215,7 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
         return _ENGINE_CACHE[sf_dir]
     from nextsearch_api_spark.operators.build import build_index
 
-    corpus = _docs(spark, sf_dir).select(
-        F.lit("r").alias("repo"),
-        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("path"),
-        F.lit("c").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
+    corpus = _engine_corpus(spark, sf_dir)
     root = os.path.join(
         tempfile.gettempdir(),
         "nsidx_entry_" + os.path.basename(os.path.normpath(sf_dir)),
@@ -914,6 +920,24 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk(_docs(spark, sf_dir), "fast table", k=10)
 
 
+def q_engine_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-ACCELERATED phrase search over the real engine index:
+    conjunctive doc-id-only postings intersection prunes the corpus scan,
+    then the exact sliding-window verify ranks survivors. Must equal the
+    pure-scan phrase_topk oracle (same phrase) — the acceleration is a
+    plan change, never a semantics change. path = zero-padded doc_id maps
+    engine results back to documents ids."""
+    from nextsearch_api_spark.operators.phrase import phrase_search
+    from nextsearch_api_spark.operators.query import IndexReader
+
+    root = _engine_index(spark, sf_dir)
+    reader = IndexReader(spark, root)
+    res = phrase_search(reader, _engine_corpus(spark, sf_dir),
+                        "fast table", k=10)
+    return res.select("rank", F.col("path").cast("long").alias("doc_id"),
+                      "n_occurrences")
+
+
 def q_events_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.ingest.stream_dedup_events (at-least-once
     delivery dedup): redeliver every 10th event, then keep one row per
@@ -1034,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_norm": q_label_centroid_norm,
         "phrase_match": q_phrase_match,
         "phrase_topk": q_phrase_topk,
+        "engine_phrase_topk": q_engine_phrase_topk,
         "events_dedup_batch": q_events_dedup_batch,
         "events_hourly": q_events_hourly,
         "user_sessions_batch": q_user_sessions_batch,
@@ -2209,7 +2234,8 @@ SELECT doc_id, n_occurrences FROM (
 WHERE n_occurrences > 0"""
 
     sql["phrase_match"] = _phrase_match_sql(["table", "table"])
-    sql["phrase_topk"] = f"""
+    # the index-accelerated path must be rank-identical to the scan oracle
+    sql["phrase_topk"] = sql["engine_phrase_topk"] = f"""
 SELECT rank, doc_id, n_occurrences FROM (
   SELECT doc_id, n_occurrences,
          row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank

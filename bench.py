@@ -341,6 +341,7 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
         from nextsearch_api_spark.operators.curation import (
             ngram_contamination, redact_pii,
         )
+        from nextsearch_api_spark.operators.phrase import phrase_match
         from nextsearch_api_spark.operators.similarity import (
             pq_adc_topk, pq_encode, train_ivf_centroids, train_pq_codebooks,
         )
@@ -388,6 +389,9 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
                 docs.where(F.col("doc_id") % 20 == 0), n=5).count(),
             "repetition_signals": lambda: repetition_signals(docs).count(),
             "redact_pii": lambda: redact_pii(docs).count(),
+            # r6 phrase scan: Contains-prefiltered codegen sliding-window
+            "phrase_match": lambda: phrase_match(
+                docs, "fast table").count(),
             # r6 PQ family: 3 fixed Lloyd iterations (one zero-shuffle
             # partial pass covers all m subspaces) + the encode-then-ADC
             # serving path (LUT literal, pure codegen)

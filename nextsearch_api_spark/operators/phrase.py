@@ -32,7 +32,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["phrase_tokens", "phrase_match", "phrase_topk"]
+__all__ = ["phrase_tokens", "phrase_match", "phrase_topk",
+           "term_doc_ids", "phrase_search"]
 
 
 def phrase_tokens(phrase: str) -> list:
@@ -80,6 +81,118 @@ def phrase_match(docs: DataFrame, phrase: str, id_col: str = "doc_id",
         .select(F.col(id_col), "n_occurrences")
     )
     return out if keep_zero else out.where(F.col("n_occurrences") > 0)
+
+
+def term_doc_ids(reader, terms: "list[str]") -> DataFrame:
+    """→ (term, doc_id) for a BOUNDED term set, decoded from the inverted
+    index: the pushed ``term isin`` predicate row-group-prunes the postings
+    scan (chunks are (term, doc_lo)-sorted), and the mapInPandas decode
+    touches ONLY the doc-id gap stream (``blob[:tf_off]``) — the tf/dl
+    varbyte streams and impact math are skipped, the same fast path the
+    multi-term prune's partial chunks use (query.py _decode_score_udf)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+    ])
+
+    def decode(batches):
+        import pandas as pd
+        from nextsearch_api_spark.functions.codec import varbyte_decode
+
+        for pdf in batches:
+            terms_out, ids_out = [], []
+            for term, tf_off, blob in zip(pdf["term"], pdf["tf_off"],
+                                          pdf["blob"]):
+                gaps = varbyte_decode(memoryview(blob)[:int(tf_off)])
+                ids = np.cumsum(gaps).astype(np.int64)
+                terms_out.append(np.full(len(ids), term, dtype=object))
+                ids_out.append(ids)
+            if not ids_out:
+                continue
+            yield pd.DataFrame({"term": np.concatenate(terms_out),
+                                "doc_id": np.concatenate(ids_out)})
+
+    return (reader.postings()
+            .where(F.col("term").isin(list(terms)))
+            .select("term", "tf_off", "blob")
+            .mapInPandas(decode, out_schema))
+
+
+def phrase_search(reader, corpus: DataFrame, phrase: str, k: int = 10,
+                  text_col: str = "content",
+                  broadcast_df_max: int = 100_000) -> DataFrame:
+    """Index-accelerated exact phrase search → (rank, doc_id, path,
+    n_occurrences), doc_id being the ENGINE id from ``reader``'s index.
+
+    Composition, each stage bounded by the previous:
+
+    1. the phrase's INDEX-TOKENIZABLE terms (≥2 chars, non-stopword — the
+       build tokenizer's kept set) are decoded doc-id-only from postings
+       and intersected (conjunctive AND: every term must appear). Any such
+       term absent from the lexicon proves zero matches — early exit
+       without touching the corpus.
+    2. candidate ids → (repo, path, commit) natural keys via the
+       metadata-only docs table; the candidate set is ≤ min(df) rows and
+       is explicitly broadcast when min(df) ≤ ``broadcast_df_max``
+       (otherwise AQE picks the join strategy).
+    3. the corpus scan — Contains-prefiltered like phrase_match — joins
+       the candidates and only survivors pay the exact sliding-window
+       verify; rank by occurrences desc, doc_id asc via sort+limit
+       (TakeOrderedAndProject).
+
+    Caveat (reference parity): the search universe is the INDEXED document
+    set — docs with zero kept tokens (reference drops them,
+    src/ForwardIndex.cpp:152) are only reachable when the phrase has at
+    least one kept token, which any such doc would have. Phrases made
+    ENTIRELY of stopwords/1-char tokens skip stage 1 and scan the full
+    corpus (still exact, no index help — the honest fallback)."""
+    from nextsearch_api_spark.functions.text import STOPWORD_SET
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    toks = phrase_tokens(phrase)
+    idx_terms = sorted({t for t in set(toks)
+                        if len(t) >= 2 and t not in STOPWORD_SET})
+
+    meta = reader.docs().select("doc_id", "repo", "path", "commit")
+    if idx_terms:
+        dfm = reader.term_dfs(idx_terms)
+        if any(t not in dfm for t in idx_terms):
+            return reader.spark.createDataFrame(
+                [], "rank int, doc_id long, path string, n_occurrences long")
+        cand = (term_doc_ids(reader, idx_terms)
+                .groupBy("doc_id").agg(F.count("*").alias("_nt"))
+                .where(F.col("_nt") == len(idx_terms))
+                .select("doc_id"))
+        meta = meta.join(cand, "doc_id")
+        if min(dfm.values()) <= broadcast_df_max:
+            meta = F.broadcast(meta)
+
+    low = F.lower(F.col(text_col))
+    pre = corpus
+    for t in sorted(set(toks)):
+        pre = pre.where(low.contains(t))
+    verified = (
+        pre.join(meta, ["repo", "path", "commit"])
+        .withColumn(
+            "_toks",
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                     lambda x: x != F.lit("")))
+        .withColumn("n_occurrences",
+                    F.expr(_occurrences_expr(toks)).cast("long"))
+        .where(F.col("n_occurrences") > 0)
+    )
+    from pyspark.sql import Window
+
+    ranked = (verified.select("doc_id", "path", "n_occurrences")
+              .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+              .limit(int(k)))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "path", "n_occurrences"))
 
 
 def phrase_topk(docs: DataFrame, phrase: str, k: int = 10,

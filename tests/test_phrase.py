@@ -58,3 +58,53 @@ def test_phrase_topk_rank_and_plan(pdocs):
 
     with pytest.raises(ValueError, match="k must be positive"):
         phrase_topk(pdocs, "quick brown", k=0)
+
+
+def test_phrase_search_equals_scan(spark, tiny_corpus, tiny_index):
+    """Index-accelerated phrase search must be result-identical to the
+    pure-scan phrase_topk over the same corpus (the index is a plan
+    change, not a semantics change). Also: a kept-token term missing from
+    the lexicon proves zero matches (early exit), and an all-stopword
+    phrase takes the scan fallback without error."""
+    from nextsearch_api_spark.operators.phrase import (
+        phrase_match, phrase_search, term_doc_ids)
+    from nextsearch_api_spark.operators.query import IndexReader
+
+    root, _ = tiny_index
+    reader = IndexReader(spark, root)
+
+    # pick a 2-gram that actually occurs: take one doc's first two kept-ish
+    # adjacent tokens
+    import re
+    txt = tiny_corpus.select("content").first()["content"]
+    toks = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if len(t) >= 2]
+    phrase = f"{toks[0]} {toks[1]}"
+
+    accel = [(r["rank"], r["path"], r["n_occurrences"])
+             for r in phrase_search(reader, tiny_corpus, phrase, k=10)
+             .orderBy("rank").collect()]
+    assert accel, f"phrase {phrase!r} should match at least its source doc"
+
+    # scan twin: rank by the same (n_occurrences desc, ENGINE doc_id asc)
+    # key — engine ids are assign_doc_ids order, monotone in path here
+    docs_meta = reader.docs().select("doc_id", "path")
+    scan = (phrase_match(tiny_corpus.withColumnRenamed("content", "text")
+                         .join(docs_meta, "path"), phrase)
+            .orderBy(F.desc("n_occurrences"), F.asc("doc_id")).limit(10)
+            .collect())
+    doc2path = {r["doc_id"]: r["path"] for r in docs_meta.collect()}
+    want = [(i + 1, doc2path[r["doc_id"]], r["n_occurrences"])
+            for i, r in enumerate(scan)]
+    assert accel == want
+
+    # conjunctive intersection really is doc-id-only postings decode
+    tdi = term_doc_ids(reader, [toks[0]]).collect()
+    assert len(tdi) > 0 and all(r["term"] == toks[0] for r in tdi)
+
+    # kept-token term absent from the lexicon → empty, no corpus scan
+    assert phrase_search(reader, tiny_corpus,
+                         f"{toks[0]} zzzznotaterm").count() == 0
+
+    # all-stopword phrase → scan fallback (no index terms), still exact
+    fb = phrase_search(reader, tiny_corpus, "the a", k=5)
+    assert fb.columns == ["rank", "doc_id", "path", "n_occurrences"]
