@@ -750,6 +750,19 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        [float(x) for x in qv], k=10)
 
 
+def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched vector search: 3 query vectors (embeddings of vec_id 0/1/2,
+    qid = source id) share ONE plan. Self-matches stay in (rank 1, cos 1.0
+    — standard kNN); excluding them post-rank would leave holes in the
+    rank sequence."""
+    from nextsearch_api_spark.operators.similarity import cosine_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    qvs = {r["vec_id"]: list(r["embedding"])
+           for r in emb.where(F.col("vec_id") < 3).collect()}
+    return cosine_topk_batch(emb, [(i, qvs[i]) for i in sorted(qvs)], k=10)
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
     2009) of the lexical BM25 top-10 (qid=2, 'spark window batch') with
@@ -1052,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_guard_metrics": q_lsh_guard_metrics,
         "near_dup_guard_metrics": q_near_dup_guard_metrics,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_batch": q_cosine_topk_batch,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_linear_topk": q_hybrid_linear_topk,
         "mmr_rerank": q_mmr_rerank,
@@ -2036,6 +2050,26 @@ sims AS (
 SELECT rank, vec_id, round(cos, 6) AS cos_sim FROM (
   SELECT vec_id, cos,
          row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rank
+  FROM sims) t
+WHERE rank <= 10"""
+
+    # cosine_topk_batch oracle: the single-query sims CTE generalized to a
+    # 3-row query relation; same round-9 order key + round-6 output
+    sql["cosine_topk_batch"] = """
+WITH q AS (SELECT vec_id AS qid,
+                  list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 3),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         list_dot_product(list_transform(e.embedding, x -> cast(x AS DOUBLE)), q.qv)
+         / (sqrt(list_dot_product(list_transform(e.embedding, x -> cast(x AS DOUBLE)),
+                                  list_transform(e.embedding, x -> cast(x AS DOUBLE))))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e CROSS JOIN q)
+SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cos, 9) DESC, vec_id) AS rank
   FROM sims) t
 WHERE rank <= 10"""
 

@@ -322,8 +322,8 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
             extract_features, resize_images, synth_media,
         )
         from nextsearch_api_spark.operators.similarity import (
-            ann_lsh_topk, build_ann_index, embedding_near_dup_pairs,
-            semantic_dedup_pairs,
+            ann_lsh_topk, build_ann_index, cosine_topk_batch,
+            embedding_near_dup_pairs, semantic_dedup_pairs,
         )
 
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -392,6 +392,12 @@ def run_pipeline_bench(cpus: int, sf_dir: str, workdir: str) -> dict:
             # r6 phrase scan: Contains-prefiltered codegen sliding-window
             "phrase_match": lambda: phrase_match(
                 docs, "fast table").count(),
+            # r6 batched vector search: 8 queries, ONE plan (shared scan +
+            # partition-local prune; the per-query amortization headline)
+            "cosine_batch8": lambda: cosine_topk_batch(
+                emb, [(i, [float(x) for x in
+                           np.random.default_rng(i).standard_normal(dim)])
+                      for i in range(8)], k=10).count(),
             # r6 PQ family: 3 fixed Lloyd iterations (one zero-shuffle
             # partial pass covers all m subspaces) + the encode-then-ADC
             # serving path (LUT literal, pure codegen)

@@ -89,6 +89,57 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def cosine_topk_batch(emb: DataFrame, queries: "list[tuple[int, list[float]]]",
+                      k: int = 10, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in ONE Spark plan — the
+    vector analog of query.batch_search: Q queries share one scan instead
+    of Q jobs.
+
+    Plan shape: the bounded query table is broadcast and crossJoined (the
+    N×Q score stream is pipelined, never materialized), scoring stays JVM
+    expressions, then a mapInPandas PARTITION-LOCAL prune keeps ≤k rows
+    per (partition, qid) with running state bounded by k·Q + one Arrow
+    batch — so the only exchange is the final per-qid rank window over
+    ≤ k·Q·P pruned rows (TakeOrderedAndProject can't serve multiple
+    orderings, hence the explicit local prune; this mirrors
+    query.py::local_topk). Ties canonicalize on round-9 cosine then
+    ascending id, matching cosine_topk. → (qid, rank, vec_id, cos_sim)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid long, qv array<double>")
+    j = emb.crossJoin(F.broadcast(qdf))
+    denom = F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("qv"))
+    cos = F.when(denom > 0, F.expr(_DOT.format(a=vec_col, b="qv")) / denom)
+    scored = (j.select("qid", F.col(id_col).alias("vec_id"),
+                       F.round(cos, 9).alias("_cr"),
+                       F.round(cos, 6).alias("cos_sim"))
+              .where(F.col("_cr").isNotNull()))
+
+    def prune(batches):
+        import pandas as pd
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            best = (cur.sort_values(["qid", "_cr", "vec_id"],
+                                    ascending=[True, False, True])
+                    .groupby("qid", sort=False).head(k))
+        if best is not None and len(best):
+            yield best
+
+    pruned = scored.mapInPandas(
+        prune, "qid long, vec_id long, _cr double, cos_sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("_cr"), F.asc("vec_id"))
+    return (pruned.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "cos_sim"))
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (public SimHash-for-vectors/LSH
     construction, Charikar 2002)."""

@@ -1253,3 +1253,37 @@ def test_semantic_dedup_guards_and_audit(spark):
     assert m["zero_norm_vecs"] == 1
     assert m["dropped_clusters"] >= 1
     assert m["dropped_vecs"] >= 40
+
+
+def test_cosine_topk_batch_matches_singles(spark):
+    """Q queries in one plan == Q independent cosine_topk runs (identical
+    rank/id/score per qid); the partition-local prune must be exact under
+    a many-partition layout, and zero-norm rows never rank."""
+    from nextsearch_api_spark.operators.similarity import (
+        cosine_topk, cosine_topk_batch)
+
+    rng = np.random.default_rng(17)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(60)]
+    rows.append((60, [0.0] * 8))                  # zero-norm: never ranked
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(13)
+
+    queries = [(0, rows[0][1]), (1, rows[1][1]), (2, rows[2][1])]
+    batch = cosine_topk_batch(emb, queries, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["vec_id"], r["cos_sim"]))
+    assert set(got) == {0, 1, 2}
+    for qid, qv in queries:
+        single = [(r["rank"], r["vec_id"], r["cos_sim"])
+                  for r in cosine_topk(emb, qv, k=5).collect()]
+        assert sorted(got[qid]) == sorted(single), f"qid {qid}"
+        assert not any(v == 60 for _, v, _ in got[qid])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be positive"):
+        cosine_topk_batch(emb, queries, k=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        cosine_topk_batch(emb, [])
