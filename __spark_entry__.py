@@ -811,6 +811,29 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       score_col="cos_sim")
 
 
+def q_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed retrieval gate (the curation_pipeline pattern applied to
+    the serving tier): cosine top-20 → MMR diversity re-rank to 10 → RRF
+    fusion with the BM25 qid=2 list → final top-10. Every stage is
+    individually oracled; this entry catches cross-operator schema/rank
+    drift none of them can see alone."""
+    from nextsearch_api_spark.operators.fusion import mmr_rerank, rrf_fuse
+    from nextsearch_api_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cand = (cosine_topk(emb.where(F.col("vec_id") != 0),
+                        [float(x) for x in qv], k=20)
+            .join(emb, "vec_id")
+            .select("vec_id", "cos_sim", "embedding"))
+    mmr = mmr_rerank(cand, lam=0.5, k=10, id_col="vec_id",
+                     score_col="cos_sim")
+    lex = (q_bm25_topk(spark, sf_dir).where(F.col("qid") == 2)
+           .select("doc_id", "rank"))
+    vec = mmr.select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], k=60, topk=10)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as gate DATA (VERDICT r5 next #8): recall@10 of the LSH
     and trained-IVF probes vs the brute-force cosine top-10 on the same
@@ -1069,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_linear_topk": q_hybrid_linear_topk,
         "mmr_rerank": q_mmr_rerank,
+        "retrieval_pipeline": q_retrieval_pipeline,
         "label_centroid_norm": q_label_centroid_norm,
         "phrase_match": q_phrase_match,
         "phrase_topk": q_phrase_topk,
@@ -2121,17 +2145,25 @@ WHERE rank <= 10"""
     # candidates of 0.5*score - 0.5*max cos to the selected set s{i-1},
     # round-9 tie-broken by vec_id, exactly the operator's rule. lam=0.5 so
     # both constants are exact doubles.
-    mmr_picks, mmr_out = [], []
-    for i in range(1, 6):
-        if i == 1:
-            mmr_picks.append("""
-p1 AS (
+    def _mmr_chain(n_picks: int) -> "tuple[str, str]":
+        """(pick-CTE chain, rank-union select) for the unrolled MMR greedy
+        over a ``cand(vec_id, score, u)`` CTE — one stage per pick (the
+        kmeans-chain pattern): pick i = argmax over the remaining
+        candidates of 0.5*score - 0.5*max cos to the selected set s{i-1},
+        round-9 tie-broken by vec_id, exactly the operator's rule. lam=0.5
+        so both constants are exact doubles. Shared by the mmr_rerank and
+        retrieval_pipeline oracles."""
+        picks, outs = [], []
+        for i in range(1, n_picks + 1):
+            if i == 1:
+                picks.append("""
+p1 AS MATERIALIZED (
   SELECT vec_id, u, (0.5::DOUBLE) * score AS obj FROM cand
   ORDER BY round((0.5::DOUBLE) * score, 9) DESC, vec_id LIMIT 1),
-s1 AS (SELECT vec_id, u FROM p1)""")
-        else:
-            mmr_picks.append(f"""
-p{i} AS (
+s1 AS MATERIALIZED (SELECT vec_id, u FROM p1)""")
+            else:
+                picks.append(f"""
+p{i} AS MATERIALIZED (
   SELECT vec_id, u, obj FROM (
     SELECT c.vec_id, c.u,
            (0.5::DOUBLE) * c.score
@@ -2140,13 +2172,16 @@ p{i} AS (
     FROM cand c
     WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i - 1})) t
   ORDER BY round(obj, 9) DESC, vec_id LIMIT 1),
-s{i} AS (SELECT vec_id, u FROM s{i - 1}
+s{i} AS MATERIALIZED (SELECT vec_id, u FROM s{i - 1}
          UNION ALL SELECT vec_id, u FROM p{i})""")
-        mmr_out.append(
-            f"SELECT {i} AS rank, vec_id, round(obj, 6) AS mmr_score "
-            f"FROM p{i}")
-    sql["mmr_rerank"] = f"""
-WITH q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
+            outs.append(
+                f"SELECT {i} AS rank, vec_id, round(obj, 6) AS mmr_score "
+                f"FROM p{i}")
+        return ",".join(picks), " UNION ALL ".join(outs)
+
+    # cosine top-20 candidates with unit vectors, shared by both MMR oracles
+    _MMR_CAND = """
+q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id = 0),
 ev AS (SELECT vec_id,
               list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
@@ -2157,7 +2192,7 @@ sims AS (
          / (sqrt(list_dot_product(e.v, e.v))
             * sqrt(list_dot_product(q.qv, q.qv))) AS cos
   FROM ev e CROSS JOIN q),
-cand AS (
+cand AS MATERIALIZED (
   SELECT vec_id, round(cos, 6) AS score,
          CASE WHEN sqrt(list_dot_product(v, v)) > 0
               THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
@@ -2165,8 +2200,34 @@ cand AS (
   FROM (SELECT vec_id, v, cos,
                row_number() OVER (ORDER BY round(cos, 9) DESC, vec_id) AS rnk
         FROM sims) t
-  WHERE rnk <= 20),{",".join(mmr_picks)}
-{" UNION ALL ".join(mmr_out)}"""
+  WHERE rnk <= 20)"""
+
+    mmr_picks5, mmr_out5 = _mmr_chain(5)
+    sql["mmr_rerank"] = f"""
+WITH {_MMR_CAND},{mmr_picks5}
+{mmr_out5}"""
+
+    # retrieval_pipeline oracle (composed end-to-end gate): cosine top-20 →
+    # MMR 10 picks → RRF with the BM25 qid=2 list → top-10. Catches
+    # cross-operator schema/rank drift no per-stage oracle can see (the
+    # curation_pipeline pattern applied to the retrieval tier).
+    mmr_picks10, mmr_out10 = _mmr_chain(10)
+    sql["retrieval_pipeline"] = f"""
+WITH {_MMR_CAND},{mmr_picks10},
+mmr AS ({mmr_out10}),
+lex AS (SELECT doc_id, rank FROM ({sql["bm25_topk"]}) WHERE qid = 2),
+vecr AS (SELECT vec_id AS doc_id, rank FROM mmr),
+u AS (
+  SELECT doc_id, (1.0::DOUBLE) / (60.0::DOUBLE + rank) AS s FROM lex
+  UNION ALL
+  SELECT doc_id, (1.0::DOUBLE) / (60.0::DOUBLE + rank) FROM vecr),
+f AS (SELECT doc_id, sum(s) AS sc, count(*)::BIGINT AS n_lists
+      FROM u GROUP BY 1)
+SELECT rank, doc_id, round(sc, 6) AS rrf_score, n_lists FROM (
+  SELECT doc_id, sc, n_lists,
+         row_number() OVER (ORDER BY round(sc, 9) DESC, doc_id) AS rank
+  FROM f) t
+WHERE rank <= 10"""
 
     # ann_recall oracle: the per-method SQL composed — intersection size of
     # each ANN top-10 with the exact cosine top-10 (DuckDB allows WITH
