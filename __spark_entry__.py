@@ -974,6 +974,14 @@ def q_engine_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_occurrences")
 
 
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighted result snippets for qid 2's terms — ±30 chars around
+    the earliest term hit, every in-window occurrence **marked**."""
+    from nextsearch_api_spark.operators.snippet import snippets
+
+    return snippets(_docs(spark, sf_dir), "spark window batch", width=30)
+
+
 def q_events_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.ingest.stream_dedup_events (at-least-once
     delivery dedup): redeliver every 10th event, then keep one row per
@@ -1094,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "retrieval_pipeline": q_retrieval_pipeline,
         "label_centroid_norm": q_label_centroid_norm,
+        "snippets": q_snippets,
         "phrase_match": q_phrase_match,
         "phrase_topk": q_phrase_topk,
         "engine_phrase_topk": q_engine_phrase_topk,
@@ -2309,6 +2318,22 @@ SELECT event_type, count(*)::BIGINT AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.95), 6) AS p95
 FROM events GROUP BY 1"""
+
+    # snippets oracle: strpos/locate are both 1-based, substring
+    # semantics match; DuckDB regexp_replace needs the 'g' flag (Spark
+    # replaces all by default) and \\1 instead of $1
+    _SNIP_TERMS = ["batch", "spark", "window"]
+    _snip_pos = ", ".join(
+        f"CASE WHEN strpos(lt, '{t}') > 0 THEN strpos(lt, '{t}')"
+        f" ELSE 1073741824 END" for t in _SNIP_TERMS)
+    sql["snippets"] = f"""
+WITH t AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+p AS (SELECT doc_id, text, least({_snip_pos}) AS fp FROM t)
+SELECT doc_id, fp::BIGINT AS first_pos,
+       regexp_replace(substring(text, greatest(1, fp - 30), 60),
+                      '(?i)({"|".join(_SNIP_TERMS)})', '**\\1**', 'g')
+       AS snippet
+FROM p WHERE fp < 1073741824"""
 
     # phrase oracles: same raw tokenizer + 1-based sliding-window count;
     # DuckDB's generate_series(1, n<=0) is already empty so only Spark
