@@ -18,6 +18,13 @@ from __future__ import annotations
 import argparse
 import json
 
+import os
+import sys
+
+# spark-submit --py-files ships the package; for a plain `python
+# scripts/<job>.py` run, fall back to the repo root (scripts/' parent)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import SparkSession
 
 
