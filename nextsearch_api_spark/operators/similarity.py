@@ -113,29 +113,79 @@ def cosine_topk_batch(emb: DataFrame, queries: "list[tuple[int, list[float]]]",
     qdf = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "qid long, qv array<double>")
-    j = emb.crossJoin(F.broadcast(qdf))
-    denom = F.expr(_norm_expr(vec_col)) * F.expr(_norm_expr("qv"))
-    cos = F.when(denom > 0, F.expr(_DOT.format(a=vec_col, b="qv")) / denom)
-    scored = (j.select("qid", F.col(id_col).alias("vec_id"),
+
+    # One mapInPandas pass over (vec_id, v): NumPy scores ALL queries per
+    # Arrow batch (BLAS matmul — replaces the r6 crossJoin whose per-(row,
+    # query) cosine was an interpreted zip_with/aggregate expression,
+    # ~60 µs/pair → 10 s for 20k×8 at sf1.0) and keeps, per (partition,
+    # qid), every row whose raw float64 cosine is within 3e-9 of the
+    # partition's k-th best — a PROVABLE superset of the partition-local
+    # exact top-k (|numpy − sequential-fold| < 1e-12 and the round-9 key
+    # moves a value < 1e-9, so a true top-k row can sit at most
+    # 1e-9 + 2e-12 below the k-th NumPy score). Survivors carry their
+    # vector through Arrow (lossless), and the ORIGINAL JVM expressions
+    # recompute the cosine for the final per-qid window — output is
+    # bit-identical to the crossJoin formulation.
+    Qm = np.asarray([[float(x) for x in v] for _, v in queries],
+                    dtype=np.float64)
+    qids = np.asarray([int(q) for q, _ in queries], dtype=np.int64)
+    qnorm = np.linalg.norm(Qm, axis=1)
+    live = qnorm > 0  # zero-norm query ⇒ NULL cosine for every row
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+
+    def prune(batches):
+        QT = (Qm[live] / qnorm[live, None]).T
+        lq = qids[live]
+        nq = len(lq)
+        if nq == 0:
+            return
+        # per-qid running candidates: (scores, vec_ids, vectors)
+        state = [(np.empty(0), np.empty(0, dtype=np.int64), []) for _ in lq]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vid = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            M = np.asarray([np.asarray(x, dtype=np.float64) for x in vecs])
+            rn = np.linalg.norm(M, axis=1)
+            ok = rn > 0
+            if not ok.any():
+                continue
+            vid, vecs, M, rn = vid[ok], vecs[ok], M[ok], rn[ok]
+            C = (M / rn[:, None]) @ QT  # rows × live queries
+            for qi in range(nq):
+                s, i, vv = state[qi]
+                cs = np.concatenate([s, C[:, qi]])
+                ci = np.concatenate([i, vid])
+                cv = vv + list(vecs)
+                if len(cs) > k:
+                    kth = np.partition(cs, len(cs) - k)[len(cs) - k]
+                    keep = cs >= kth - 3e-9
+                    cs, ci = cs[keep], ci[keep]
+                    cv = [v for v, kp in zip(cv, keep) if kp]
+                state[qi] = (cs, ci, cv)
+        out_q, out_i, out_v = [], [], []
+        for qi in range(nq):
+            s, i, vv = state[qi]
+            out_q.append(np.full(len(i), lq[qi], dtype=np.int64))
+            out_i.append(i)
+            out_v.extend(vv)
+        if out_v:
+            yield pd.DataFrame({"qid": np.concatenate(out_q),
+                                "vec_id": np.concatenate(out_i),
+                                "v": out_v})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(
+        prune, f"qid long, vec_id long, v {vec_type}")
+    j = cand.join(F.broadcast(qdf), "qid")
+    denom = F.expr(_norm_expr("v")) * F.expr(_norm_expr("qv"))
+    cos = F.when(denom > 0, F.expr(_DOT.format(a="v", b="qv")) / denom)
+    scored = (j.select("qid", "vec_id",
                        F.round(cos, 9).alias("_cr"),
                        F.round(cos, 6).alias("cos_sim"))
               .where(F.col("_cr").isNotNull()))
-
-    def prune(batches):
-        import pandas as pd
-        best = None
-        for pdf in batches:
-            cur = pd.concat([best, pdf]) if best is not None else pdf
-            best = (cur.sort_values(["qid", "_cr", "vec_id"],
-                                    ascending=[True, False, True])
-                    .groupby("qid", sort=False).head(k))
-        if best is not None and len(best):
-            yield best
-
-    pruned = scored.mapInPandas(
-        prune, "qid long, vec_id long, _cr double, cos_sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("_cr"), F.asc("vec_id"))
-    return (pruned.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("qid", "rank", "vec_id", "cos_sim"))
 
@@ -178,40 +228,107 @@ def build_ann_index(emb: DataFrame, out_path: str, n_planes: int = 12,
     return H
 
 
+def _near_dup_pairs_from_groups(t: DataFrame, key_col: str, tau: float,
+                                max_group: int) -> DataFrame:
+    """Shared tail of the bucket/cluster-scoped near-dup operators: emit
+    (vec_a, vec_b, cos_sim) pairs with round-6 cosine ≥ ``tau`` from groups
+    keyed by ``key_col`` over (vid, v, key) rows.
+
+    Two phases (guide §4.2 — vectorize the bulk, keep exact arithmetic for
+    the finalists; replaces the r6 bucket SELF-JOIN whose per-pair cosine
+    was an interpreted zip_with/aggregate expression — ~60 µs/pair,
+    measured 181 s for semantic_dedup over 20k vectors at sf1.0):
+
+    1. candidate generation — ONE shuffle keyed by the group, then a
+       per-group NumPy unit-normalized Gram matrix (BLAS; blocked so peak
+       memory is O(block·|group|)); rows whose raw float64 cosine ≥
+       tau − 1e-6 survive. That threshold is a PROVABLE superset of the
+       exact round-6 ≥ tau set: a true pair has exact cosine ≥ tau − 5e-7
+       (HALF_UP round), and |numpy − sequential-fold| < 1e-9 at any sane
+       dim, so no true pair is lost. The ``max_group`` guard (formerly a
+       window count — a second exchange) moves inside the same pass.
+    2. exact finalization — the ORIGINAL JVM expressions (same sequential
+       aggregate/zip_with folds over the same float values, carried through
+       Arrow losslessly) compute cos_sim for the few candidates, so the
+       output is bit-identical to the self-join formulation.
+
+    Candidate volume stays Σ_g |g|² bounded by ``max_group``² per task;
+    zero-norm vectors produce NULL cosine and never pass tau, exactly as
+    before (NumPy drops them from candidate generation for the same
+    reason)."""
+    vec_type = t.schema["v"].dataType.simpleString()
+    thr = float(tau) - 1e-6
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "va": pd.Series([], dtype=object),
+            "vb": pd.Series([], dtype=object),
+            "vec_a": pd.Series([], dtype=np.int64),
+            "vec_b": pd.Series([], dtype=np.int64),
+        })
+        n = len(pdf)
+        if n < 2 or n > max_group:
+            return empty
+        vid = pdf["vid"].to_numpy()
+        vecs = pdf["v"].to_numpy()
+        M = np.asarray([np.asarray(x, dtype=np.float64) for x in vecs])
+        norms = np.linalg.norm(M, axis=1)
+        ok = norms > 0
+        if ok.sum() < 2:
+            return empty
+        vid, vecs, M, norms = vid[ok], vecs[ok], M[ok], norms[ok]
+        order = np.argsort(vid)  # unique ids: index order == id order
+        vid, vecs, M, norms = vid[order], vecs[order], M[order], norms[order]
+        V = M / norms[:, None]
+        m = len(vid)
+        blk = max(1, 32_000_000 // max(1, m))
+        ia, ib = [], []
+        for s in range(0, m, blk):
+            G = V[s:s + blk] @ V.T
+            ii, jj = np.nonzero(G >= thr)
+            keep = (s + ii) < jj  # strict upper triangle → vec_a < vec_b
+            ia.append(s + ii[keep])
+            ib.append(jj[keep])
+        ia = np.concatenate(ia) if ia else np.array([], dtype=np.int64)
+        ib = np.concatenate(ib) if ib else np.array([], dtype=np.int64)
+        if not len(ia):
+            return empty
+        return pd.DataFrame({
+            "va": [vecs[i] for i in ia], "vb": [vecs[j] for j in ib],
+            "vec_a": vid[ia], "vec_b": vid[ib],
+        })
+
+    cand = t.groupBy(key_col).applyInPandas(
+        gen, schema=f"va {vec_type}, vb {vec_type}, vec_a long, vec_b long")
+    denom = F.expr(_norm_expr("va")) * F.expr(_norm_expr("vb"))
+    # zero-norm guard (same as cosine_scores): all-zero embeddings get NULL
+    # cosine instead of an ANSI divide-by-zero; the tau filter drops them
+    cos = F.when(denom > 0, F.expr(_DOT.format(a="va", b="vb")) / denom)
+    return (cand.select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= tau))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, n_planes: int = 8,
                              seed: int = 42, tau: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              max_bucket: int = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector twin of MinHash
-    near-dup dedup: candidate pairs come from an LSH-bucket SELF-JOIN (same
+    near-dup dedup: candidate pairs are generated WITHIN LSH buckets (same
     sign pattern over ``n_planes`` seeded hyperplanes — never an all-pairs
     cross join), then exact cosine keeps pairs ≥ ``tau``.
 
-    Scale shape: the join is keyed by bucket (2^n_planes buckets), so the
+    Scale shape: one shuffle keyed by bucket (2^n_planes buckets), so the
     candidate volume is Σ_b |b|² instead of N²; n_planes tunes bucket size.
     ``max_bucket`` drops degenerate buckets (e.g. many near-zero vectors all
     sign-hashing to the same pattern) that would otherwise go |b|²-quadratic
     — the same guard as dedup.lsh_candidate_pairs (VERDICT r2).
-    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b, JVM-side cosine.
-    Audit what the max_bucket guard excluded with
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b; the final cosine is
+    the same JVM expression as always (see _near_dup_pairs_from_groups for
+    the two-phase shape). Audit what the max_bucket guard excluded with
     ``near_dup_guard_metrics`` (same construction, no-silent-caps rule)."""
     t = _near_dup_buckets(emb, n_planes, seed, id_col, vec_col)
-    t = t.withColumn(
-        "_bsz", F.count("*").over(Window.partitionBy("bucket"))
-    ).where(F.col("_bsz") <= max_bucket).drop("_bsz")
-    a, c = t.alias("a"), t.alias("b")
-    denom = F.expr(_norm_expr("a.v")) * F.expr(_norm_expr("b.v"))
-    # zero-norm guard (same as cosine_scores): all-zero embeddings get NULL
-    # cosine instead of an ANSI divide-by-zero; the tau filter drops them
-    cos = F.when(denom > 0, F.expr(_DOT.format(a="a.v", b="b.v")) / denom)
-    return (
-        a.join(c, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vid") < F.col("b.vid")))
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-                F.round(cos, 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= tau)
-    )
+    return _near_dup_pairs_from_groups(t, "bucket", tau, max_bucket)
 
 
 def _near_dup_buckets(emb: DataFrame, n_planes: int, seed: int,
@@ -248,8 +365,10 @@ def semantic_dedup_pairs(emb: DataFrame, n_clusters: int = 16, seed: int = 7,
 
     Scale shape: training is ONE zero-shuffle mapInPandas partial per Lloyd
     iteration with a P×K-bounded collect (see train_ivf_centroids); the
-    assignment is a broadcast-centroid pandas_udf; the self-join shuffles
-    by cluster id. ``train_iters`` Lloyd iterations run with tol=0.0 so an
+    assignment is a broadcast-centroid pandas_udf; pair generation is one
+    shuffle keyed by cluster id (two-phase BLAS candidates + exact JVM
+    finalize, see _near_dup_pairs_from_groups). ``train_iters`` Lloyd
+    iterations run with tol=0.0 so an
     unrolled-SQL oracle from the same seeded init reproduces the centroids
     exactly (the ann_ivf_trained_topk pattern)."""
     if centroids is None:
@@ -259,21 +378,7 @@ def semantic_dedup_pairs(emb: DataFrame, n_clusters: int = 16, seed: int = 7,
     cell = ivf_cell_udf(centroids)
     t = (emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
          .withColumn("cell", cell(F.col("v"))))
-    t = t.withColumn(
-        "_csz", F.count("*").over(Window.partitionBy("cell"))
-    ).where(F.col("_csz") <= max_cluster).drop("_csz")
-    a, c = t.alias("a"), t.alias("b")
-    denom = F.expr(_norm_expr("a.v")) * F.expr(_norm_expr("b.v"))
-    # zero-norm guard (same as cosine_scores): all-zero embeddings get NULL
-    # cosine instead of an ANSI divide-by-zero; the tau filter drops them
-    cos = F.when(denom > 0, F.expr(_DOT.format(a="a.v", b="b.v")) / denom)
-    return (
-        a.join(c, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.vid") < F.col("b.vid")))
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-                F.round(cos, 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= tau)
-    )
+    return _near_dup_pairs_from_groups(t, "cell", tau, max_cluster)
 
 
 def semantic_dedup_guard_metrics(emb: DataFrame, n_clusters: int = 16,
