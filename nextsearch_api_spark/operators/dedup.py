@@ -68,35 +68,123 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# bound on the per-worker shingle→hashes memo (entries are ~150 B each →
+# ~600 MB at the cap); cleared wholesale when full — adversarially diverse
+# corpora degrade to hashing per occurrence, never to unbounded memory
+_SHINGLE_CACHE_MAX = 4_000_000
+
+
 def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
                   num_hashes: int, shingle_n: int) -> DataFrame:
     """(doc_id, _m0.._m{H-1}) — all ``num_hashes`` min-hashes in ONE
-    doc-keyed aggregation over the shingle stream.
+    zero-shuffle corpus pass.
 
-    The H md5s are computed per DISTINCT shingle string, not per
-    occurrence (r7): md5 is the dominant cost of the whole MinHash family
-    (~5 µs/row measured — 8 hashes over the 2.6M-occurrence sf1.0 stream is
-    ~16 s of the old 18-21 s wall, while the distinct-shingle set is 94×
-    smaller there), and dedup-bound corpora repeat shingles by
-    construction — the very redundancy MinHash exists to find. The distinct
-    side collapses map-side (partial agg) before its exchange; the
-    hash-attach join carries a MERGE hint because static estimates see the
-    exploded shingle stream as tiny and would broadcast the WRONG side
-    (measured: BuildLeft over the 2.6M-row stream, 23 s); from the
-    sort-merge baseline AQE demotes to a broadcast join of whichever side
-    is ACTUALLY small at runtime, and degrades to a plain shuffle join when
-    neither fits; the final groupBy(doc) min-agg carries H long columns. The seed
-    fan-out crossJoin that multiplied the shingle stream ×H before r7 never
-    exists; values are identical (same md5(seed || ':' || shingle))."""
-    sh = shingles(df, text_col, id_col, shingle_n)
-    hashed = sh.select("shingle").distinct().select(
-        "shingle", *[
-            md5_long(F.concat(F.lit(f"{s}:"), F.col("shingle")))
-            .alias(f"_h{s}")
-            for s in range(num_hashes)
-        ])
-    return sh.join(hashed.hint("merge"), "shingle").groupBy("doc_id").agg(*[
-        F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_hashes)
+    Tokens come from the SAME JVM expression ``shingles()`` uses (lower +
+    [^a-z0-9]+ split + drop-empty — byte-identical token boundaries), and a
+    mapInPandas kernel per partition builds each doc's distinct shingle set
+    and folds per-seed minima of the md5-derived 60-bit hashes
+    (int(md5(seed ':' shingle)[:15], 16) — exactly ``md5_long``'s
+    conv(substr(md5(..),1,15),16,10), so values are identical to the SQL
+    oracle).
+
+    Why this shape (r7, guide §2.4/§4.2): the prior formulation computed the
+    md5s once per globally-DISTINCT shingle and joined them back onto the
+    exploded occurrence stream — but that plans the tokenize+explode subtree
+    TWICE (distinct branch + join probe side, ~2.5 s each at sf1.0), shuffles
+    the 2.6M-row occurrence stream for the sort-merge attach, and shuffles
+    again for the doc-keyed min-agg: measured 4.7-6 s warm at sf1.0. Here the
+    corpus is tokenized ONCE, nothing is exploded or shuffled (a doc's
+    minhash is row-local), and cross-doc shingle redundancy — the very thing
+    MinHash exists to find — is captured by a per-worker hash memo instead of
+    a global distinct: repeated shingles cost a dict hit, the md5s are
+    computed once per distinct shingle per worker (~30k × H at sf1.0).
+    Measured 4.7 s → 0.6 s warm at sf1.0 (50k docs); linear in corpus bytes
+    at 100 TB with per-task memory bounded by _SHINGLE_CACHE_MAX."""
+    import numpy as np
+
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')")
+        .alias("toks"),
+    )
+    # scale-adaptive parallelism (guide §2): the zero-shuffle pass inherits
+    # the scan's partitioning, and a small corpus often arrives as 1-2
+    # parquet splits — serializing the Python kernel. Repartition ONLY when
+    # the input has fewer splits than cores (one cheap exchange of the raw
+    # rows); a real 100 TB scan already has thousands of splits and skips
+    # this. Row-to-partition placement cannot affect results (the kernel is
+    # row-local and the final agg is doc-keyed).
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    try:
+        nparts = toks_df.rdd.getNumPartitions()
+    except Exception:
+        nparts = None
+    if nparts is not None and nparts < want:
+        toks_df = toks_df.repartition(want)
+    n = shingle_n
+    nh = num_hashes
+    seeds = [f"{s}:".encode() for s in range(nh)]
+
+    def fold(batches):
+        import hashlib
+
+        import pandas as pd
+        cache: dict = {}
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids_out, sh_all, counts = [], [], []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                if toks is None:
+                    continue
+                L = len(toks) - (n - 1)
+                if L <= 0:
+                    continue
+                if n > 1:
+                    sh_all.extend(" ".join(toks[i:i + n]) for i in range(L))
+                else:
+                    sh_all.extend(toks)
+                ids_out.append(doc_id)
+                counts.append(L)
+            if not ids_out:
+                continue
+            # min over occurrences == min over the distinct set, so no
+            # per-doc dedup is needed; factorize (one C pass) maps the
+            # occurrence stream to distinct-shingle codes, the md5s are
+            # computed once per NEW distinct shingle (cache spans batches
+            # and tasks of a reused worker), and one reduceat folds the
+            # per-doc minima — no per-shingle Python in the hot loop.
+            codes, uniq = pd.factorize(
+                np.asarray(sh_all, dtype=object), sort=False)
+            Hm = np.empty((len(uniq), nh), dtype=np.int64)
+            for j, sh in enumerate(uniq):
+                h = cache.get(sh)
+                if h is None:
+                    if len(cache) >= _SHINGLE_CACHE_MAX:
+                        cache.clear()
+                    b = sh.encode()
+                    h = np.array(
+                        [int(md5(sd + b).hexdigest()[:15], 16)
+                         for sd in seeds], dtype=np.int64)
+                    cache[sh] = h
+                Hm[j] = h
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(Hm[codes], starts, axis=0)
+            out = {"doc_id": np.asarray(ids_out, dtype=np.int64)}
+            for s in range(nh):
+                out[f"_m{s}"] = mins[:, s]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"_m{s} long" for s in range(nh))
+    wide = toks_df.mapInPandas(fold, schema)
+    # exactness guard: a corpus with duplicate doc_id rows must still yield
+    # ONE row per doc (min over the union of copies' shingles), as the old
+    # doc-keyed aggregation did. The rows here are |docs| × (H+1) longs —
+    # a partial-agg-friendly exchange ~50× narrower than the old shingle
+    # stream, and AQE coalesces it to a handful of tasks.
+    return wide.groupBy("doc_id").agg(*[
+        F.min(f"_m{s}").alias(f"_m{s}") for s in range(nh)
     ])
 
 
@@ -156,17 +244,21 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     audit what the guard excluded with ``lsh_guard_metrics``)."""
     band = _band_buckets(df, text_col, id_col, num_hashes, rows_per_band,
                          shingle_n)
-    guarded = band.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("bsz") <= max_bucket)
-    a, b = guarded.alias("a"), guarded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # ONE bucket-keyed aggregation replaces the r6 window-count guard + self-
+    # join (three exchanges of the band rows → one): per (band, bucket) the
+    # member ids are collected (partial-agg friendly, bucket sizes bounded by
+    # near-dup cluster sizes), the max_bucket guard is a size() filter on the
+    # same row, and the |b|² pair expansion is a pure-codegen nested
+    # transform over the sorted id array — identical (doc_a < doc_b) pairs,
+    # same guard semantics, then the same cross-band distinct.
+    grouped = (band.groupBy("band", "bucket")
+               .agg(F.collect_list("doc_id").alias("ids"))
+               .where(F.size("ids").between(2, max_bucket)))
+    pairs = grouped.select(F.explode(F.expr(
+        "flatten(transform(array_sort(ids), (a, i) -> "
+        "transform(slice(array_sort(ids), i + 2, size(ids)), "
+        "b -> struct(a as doc_a, b as doc_b))))")).alias("p"))
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def lsh_guard_metrics(df: DataFrame, text_col: str = "text",
