@@ -211,6 +211,19 @@ HYDRATE_PUSHDOWN_MAX_IDS = 100_000
 # the other term's GLOBAL max — still sound, just a looser upper bound
 _MULTI_PRUNE_RANGE_BUDGET = 200_000
 
+# driver-side small-query budget: largest Σ_t df (total postings across the
+# query batch's present terms — known EXACTLY from the lexicon before any
+# data is read) for which the batch tier answers from a bounded pyarrow
+# read + NumPy TAAT on the driver instead of a 3-job distributed plan.
+# 4M postings ≈ a few tens of MB of row-group-pruned blob reads and well
+# under a second of thread-parallel decode+score — below the distributed
+# plan's multi-job scheduling floor — while a hot term on a 100 TB corpus
+# blows the budget immediately and keeps the distributed plan. The same
+# volume-bounded driver-lookup pattern as term_dfs / chunk_meta /
+# HYDRATE_PUSHDOWN_MAX_IDS; nothing is memoized — every call re-reads the
+# parquet postings.
+SMALL_QUERY_MAX_POSTINGS = 4_000_000
+
 
 def _plan_chunk_prune(
     reader: IndexReader, per_qid_terms: dict[int, list[str]],
@@ -460,12 +473,148 @@ def _decode_score_udf(avgdl: float, params: BM25Params,
     return decode, out_schema
 
 
+def _driver_small_search(reader: IndexReader, present: "list[str]",
+                         qterm_rows: "list[tuple[int, str, float, int]]",
+                         params: BM25Params) -> "list[tuple] | None":
+    """Driver-side exact TAAT for a volume-bounded query batch → result rows
+    (qid, rank, doc_id, score, found), or None to fall back to the
+    distributed plan (any read failure / a term unexpectedly decoding to
+    nothing).
+
+    Semantics are the distributed plan's, computed the same way: ONE
+    row-group-pruned pyarrow read of the present terms' chunk rows (the
+    exact bytes the executors' pushed-isin scan would read), the SAME f32/f64
+    impact arithmetic as _decode_score_udf, per-doc score = Σ widf·impact in
+    float64, found = distinct matched docs, rank by (score desc, doc_id asc).
+    Exactness vs the distributed plan is gated by the prune-vs-exhaustive
+    parity tests (tests/test_plans.py) and the engine oracle entries."""
+    try:
+        import pyarrow.dataset as pads
+        if reader._post_dataset is None:
+            reader._post_dataset = pads.dataset(
+                reader.paths.postings, format="parquet")
+        t = reader._post_dataset.to_table(
+            columns=["term", "count", "tf_off", "dl_off", "blob"],
+            filter=pads.field("term").isin(list(present)),
+        )
+    except Exception:
+        return None
+    from nextsearch_api_spark.functions.codec import decode_chunks_concat
+
+    terms_col = t.column("term").to_pylist()
+    blobs = t.column("blob").to_pylist()
+    tf_offs = t.column("tf_off").to_pylist()
+    dl_offs = t.column("dl_off").to_pylist()
+    counts = t.column("count").to_pylist()
+    rows_by_term: dict[str, list[int]] = {}
+    for i, term in enumerate(terms_col):
+        rows_by_term.setdefault(term, []).append(i)
+    if any(term not in rows_by_term for term in present):
+        return None  # lexicon/postings disagree — let the full plan decide
+
+    f32 = params.precision == "f32"
+    k1_32, b_32 = np.float32(params.k1), np.float32(params.b)
+    k1_64, b_64 = float(params.k1), float(params.b)
+    avg32, avg64 = np.float32(reader.avgdl), float(reader.avgdl)
+    one = np.float32(1.0)
+    def _decode_term(term: str) -> tuple[str, np.ndarray, np.ndarray]:
+        idxs = rows_by_term[term]
+        ids, tfs, dls = decode_chunks_concat(
+            [blobs[i] for i in idxs], [tf_offs[i] for i in idxs],
+            [dl_offs[i] for i in idxs], [counts[i] for i in idxs])
+        if f32:
+            tfv = tfs.astype(np.float32)
+            dlv = dls.astype(np.float32)
+            imp = (tfv * (k1_32 + one)
+                   / (tfv + k1_32 * (one - b_32 + b_32 * (dlv / avg32))))
+            imp = imp.astype(np.float32)
+        else:
+            tfv = tfs.astype(np.float64)
+            dlv = dls.astype(np.float64)
+            imp = (tfv * (k1_64 + 1.0)
+                   / (tfv + k1_64 * (1.0 - b_64 + b_64 * (dlv / avg64))))
+        return term, ids, imp
+
+    # numpy varbyte kernels release the GIL — a few threads cut the decode
+    # wall ~linearly; results are per-term and order-independent
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if len(rows_by_term) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(8, len(rows_by_term))) as pool:
+            for term, ids, imp in pool.map(_decode_term, rows_by_term):
+                per_term[term] = (ids, imp)
+    else:
+        for term in rows_by_term:
+            _, ids, imp = _decode_term(term)
+            per_term[term] = (ids, imp)
+
+    by_qid: dict[int, tuple[int, list]] = {}
+    for qid, term, widf, k in qterm_rows:
+        by_qid.setdefault(qid, (k, []))[1].append((term, widf))
+    out: list[tuple] = []
+    for qid in sorted(by_qid):
+        k, tws = by_qid[qid]
+        all_ids = np.concatenate([per_term[term][0] for term, _ in tws])
+        all_c = np.concatenate([
+            per_term[term][1].astype(np.float64) * widf for term, widf in tws
+        ])
+        if not len(all_ids):
+            continue
+        # per-doc float64 accumulation in occurrence order (bincount and
+        # np.unique+add.at sum in the same sequence); dense engine id
+        # spaces take the O(n) bincount path, sparse ones the sort path
+        max_id = int(all_ids.max())
+        if max_id < 4 * len(all_ids):
+            cnt = np.bincount(all_ids, minlength=max_id + 1)
+            ssum = np.bincount(all_ids, weights=all_c, minlength=max_id + 1)
+            uniq = np.nonzero(cnt)[0]
+            scores = ssum[uniq]
+        else:
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(scores, inv, all_c)
+        found = int(len(uniq))
+        # exact (score desc, doc_id asc) top-k: argpartition trims to the
+        # k-th score, ties at the boundary are kept and resolved by the
+        # full lexsort over the (small) candidate set
+        if len(uniq) > k:
+            kth = np.argpartition(-scores, k - 1)[:k]
+            cand = np.nonzero(scores >= scores[kth].min())[0]
+        else:
+            cand = np.arange(len(uniq))
+        order = cand[np.lexsort((uniq[cand], -scores[cand]))][:k]
+        for r, j in enumerate(order):
+            out.append((int(qid), r + 1, int(uniq[j]),
+                        float(scores[j]), found))
+    return out
+
+
+def _local_result_frame(spark: SparkSession, rows: "list[tuple]") -> DataFrame:
+    """≤Σk driver-computed result rows → a LocalRelation DataFrame via a SQL
+    VALUES literal. Unlike createDataFrame(list) — which parallelizes a
+    Python RDD so even collect() pays a 1-task job plus a Py4J round-trip
+    (~0.4 s measured) — a LocalRelation collects job-free, and downstream
+    projections constant-fold through ConvertToLocalRelation. Scores embed
+    via repr(): Python's shortest-round-trip decimal parses back to the
+    identical IEEE-754 double."""
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id long, score double, found long")
+    vals = ", ".join(
+        f"({qid}L, {rank}, {doc}L, CAST({score!r} AS DOUBLE), {found}L)"
+        for qid, rank, doc, score, found in rows)
+    return spark.sql(
+        f"SELECT col1 AS qid, col2 AS rank, col3 AS doc_id, "
+        f"col4 AS score, col5 AS found FROM VALUES {vals}")
+
+
 def batch_search(
     reader: IndexReader,
     queries: Sequence[QuerySpec],
     params: BM25Params | None = None,
     hydrate: bool = False,
     prune_chunks: bool = True,
+    small_query_max_postings: "int | None" = None,
 ) -> DataFrame:
     """Run all queries in one Spark plan.
 
@@ -521,6 +670,22 @@ def batch_search(
         (qid, t, float(occ) * float(idf_map[t]), k)
         for qid, t, occ, k in qrows if t in idf_map
     ]
+
+    # volume-bounded driver fast path (r7): Σ df across the batch's present
+    # terms is known exactly before any data is read; under the budget the
+    # whole batch is answered by one row-group-pruned pyarrow read + NumPy
+    # TAAT — identical results (see _driver_small_search), none of the 3
+    # distributed jobs' ~0.3 s-each Python-stage floors. prune_chunks=False
+    # forces the distributed plan (the parity-testing escape hatch, which
+    # thereby also covers driver-vs-distributed identity).
+    budget = (SMALL_QUERY_MAX_POSTINGS if small_query_max_postings is None
+              else small_query_max_postings)
+    if prune_chunks and budget > 0 \
+            and sum(df_map[t] for t in present) <= budget:
+        local_rows = _driver_small_search(reader, present, qterm_rows, params)
+        if local_rows is not None:
+            topk = _local_result_frame(spark, local_rows)
+            return _hydrate_topk(reader, topk, queries) if hydrate else topk
 
     # chunk-level top-k prefilter (driver-side plan over chunk metadata)
     whitelist: dict[str, list[int]] = {}
@@ -659,31 +824,38 @@ def batch_search(
         topk = topk.select("qid", "rank", "doc_id", "score",
                            expr.cast("long").alias("found"))
     if hydrate:
-        meta_cols = ["doc_id", "uid", "repo", "path", "commit", "lang"]
-        # Bound the metadata side (VERDICT r4 wrong #4): the top-k result is
-        # ≤ Σk rows (driver-known, k clamped ≤ 100), so materialize it ONCE
-        # on the driver and push an isin filter of its doc_ids into the docs
-        # scan — row-group pruning + an explicit broadcast of the ≤Σk matched
-        # rows, never a full-docs exchange. The collected rows come back as a
-        # local relation (no persist: the r5 `topk.persist()` here was never
-        # unpersisted and leaked one cache entry per hydrated batch_search in
-        # long-lived serving sessions — ADVICE r5). Very large batches (Σk
-        # above the literal-filter budget) keep the plain left join and rely
-        # on AQE's size-based broadcast.
-        k_total = sum(clamp_k(qs.k) for qs in queries)
-        if k_total <= HYDRATE_PUSHDOWN_MAX_IDS:
-            rows = topk.collect()  # ≤ Σk rows by construction
-            ids = sorted({r["doc_id"] for r in rows})
-            local = reader.spark.createDataFrame(rows, schema=topk.schema)
-            docs = reader.docs().select(*meta_cols)
-            docs = (docs.where(F.col("doc_id").isin(ids)) if ids
-                    else docs.where(F.lit(False)))
-            topk = local.join(F.broadcast(docs), "doc_id", "left")
-        else:
-            topk = topk.join(reader.docs().select(*meta_cols), "doc_id", "left")
-        topk = topk.select("qid", "rank", "doc_id", "score", "found",
-                           "uid", "repo", "path", "commit", "lang")
+        topk = _hydrate_topk(reader, topk, queries)
     return topk
+
+
+def _hydrate_topk(reader: IndexReader, topk: DataFrame,
+                  queries: Sequence[QuerySpec]) -> DataFrame:
+    """Attach doc metadata to a ≤Σk-row result frame.
+
+    Bound the metadata side (VERDICT r4 wrong #4): the top-k result is
+    ≤ Σk rows (driver-known, k clamped ≤ 100), so materialize it ONCE
+    on the driver and push an isin filter of its doc_ids into the docs
+    scan — row-group pruning + an explicit broadcast of the ≤Σk matched
+    rows, never a full-docs exchange. The collected rows come back as a
+    local relation (no persist: the r5 `topk.persist()` here was never
+    unpersisted and leaked one cache entry per hydrated batch_search in
+    long-lived serving sessions — ADVICE r5). Very large batches (Σk
+    above the literal-filter budget) keep the plain left join and rely
+    on AQE's size-based broadcast."""
+    meta_cols = ["doc_id", "uid", "repo", "path", "commit", "lang"]
+    k_total = sum(clamp_k(qs.k) for qs in queries)
+    if k_total <= HYDRATE_PUSHDOWN_MAX_IDS:
+        rows = topk.collect()  # ≤ Σk rows by construction
+        ids = sorted({r["doc_id"] for r in rows})
+        local = reader.spark.createDataFrame(rows, schema=topk.schema)
+        docs = reader.docs().select(*meta_cols)
+        docs = (docs.where(F.col("doc_id").isin(ids)) if ids
+                else docs.where(F.lit(False)))
+        topk = local.join(F.broadcast(docs), "doc_id", "left")
+    else:
+        topk = topk.join(reader.docs().select(*meta_cols), "doc_id", "left")
+    return topk.select("qid", "rank", "doc_id", "score", "found",
+                       "uid", "repo", "path", "commit", "lang")
 
 
 def search_one(reader: IndexReader, q: str, k: int = 10,

@@ -34,7 +34,8 @@ def test_batch_search_qterms_need_no_exchange(spark, plan_env):
     the query side — the only exchanges are the score agg + rank windows
     (r4; previously a createDataFrame + broadcast join cost a driver
     round-trip per batch)."""
-    topk = batch_search(plan_env, [QuerySpec(0, "buffer cache99", 5)])
+    topk = batch_search(plan_env, [QuerySpec(0, "buffer cache99", 5)],
+                        small_query_max_postings=0)
     plan = _plan(topk)
     assert "keys=[buffer" in plan or "keys=[cache99" in plan \
         or "map_keys" in plan or "map(" in plan.lower()
@@ -50,7 +51,8 @@ def test_batch_search_found_and_rank_are_scale_safe(spark, plan_env):
     whole plan needs exactly two hash exchanges — the (qid, doc_id) score
     agg and one shared qid exchange for the two tiny windows
     (VERDICT r1 'what's wrong' #2)."""
-    topk = batch_search(plan_env, [QuerySpec(0, "buffer cache99", 5)])
+    topk = batch_search(plan_env, [QuerySpec(0, "buffer cache99", 5)],
+                        small_query_max_postings=0)
     plan = _plan(topk)
     assert "count(1) windowspecdefinition" not in plan
     assert "MapInPandas" in plan
@@ -409,3 +411,25 @@ def test_hydrate_leaves_no_persisted_rdds(spark, plan_env):
         rows = topk.collect()
         assert rows
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_small_query_driver_path_plans_local_and_matches(spark, plan_env):
+    """r7 volume-bounded driver fast path: under the Σdf budget the default
+    batch_search answers from a local relation (no scan, no Python stage,
+    no exchange in the plan), and its rows — scores at full precision,
+    ranks, found — are identical to the forced-distributed plan."""
+    specs = [QuerySpec(0, "buffer hotterm", 5), QuerySpec(1, "cache99", 3),
+             QuerySpec(2, "zzznotaterm buffer", 2)]
+    fast = batch_search(plan_env, specs)
+    plan = _plan(fast)
+    assert "MapInPandas" not in plan and "Exchange" not in plan, plan[:2000]
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan[:2000]
+    assert "parquet" not in plan.lower(), plan[:2000]
+    slow = batch_search(plan_env, specs, small_query_max_postings=0)
+    key = lambda r: (r["qid"], r["rank"], r["doc_id"],
+                     round(r["score"], 9), r["found"])
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+    # hydrate composes with the local relation the same way
+    h = batch_search(plan_env, [QuerySpec(0, "buffer hotterm", 5)],
+                     hydrate=True).collect()
+    assert h and all(r["path"] is not None for r in h)
