@@ -549,6 +549,38 @@ def _ivf_partial_fn(C: np.ndarray):
     return fn
 
 
+# driver-side training budget: rows × dim float64 elements collected once
+# (8M elems ≈ 64 MB). Under it, Lloyd iterations run in the NumPy twin —
+# the function whose semantics the unrolled-SQL oracles re-derive — instead
+# of one Spark job per iteration (~0.2-0.3 s scheduling floor each over
+# data this small). Above it, the zero-shuffle distributed trainer runs
+# unchanged; row counts come from parquet footers when the plan is a file
+# scan, so the gate itself costs nothing at real scale.
+DRIVER_TRAIN_MAX_ELEMS = 8_000_000
+
+
+def _collect_vectors(emb: DataFrame, vec_col: str,
+                     dim: int) -> "np.ndarray | None":
+    """One column-pruned Arrow collect of a SMALL embedding column →
+    (n, dim) float64 matrix, or None when the frame exceeds the driver
+    budget / has nulls / is ragged (callers then train distributed)."""
+    from nextsearch_api_spark.operators.build import _fast_count
+    try:
+        n = _fast_count(emb)
+    except Exception:
+        return None
+    if n == 0 or n * dim > DRIVER_TRAIN_MAX_ELEMS:
+        return None
+    try:
+        col = emb.select(vec_col).toArrow().column(0).combine_chunks()
+        if col.null_count:
+            return None
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return vals.astype(np.float64).reshape(len(col), dim)
+    except Exception:
+        return None
+
+
 def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 7,
                         max_iter: int = 10, tol: float = 1e-4,
                         vec_col: str = "embedding") -> np.ndarray:
@@ -575,6 +607,14 @@ def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 7,
     (cell, pid) order so the float64 sum order is deterministic run-to-run.
     """
     dim = len(emb.select(vec_col).first()[0])
+    # volume-bounded driver path (r7): small embedding tables train in the
+    # NumPy twin — same init, same assignment/update rules (the twin is the
+    # semantic reference the property tests and SQL oracles hold both
+    # trainers to; drift between the two is float-summation-order only,
+    # ≤1e-9, exactly what input repartitioning already causes)
+    M = _collect_vectors(emb, vec_col, dim)
+    if M is not None:
+        return train_ivf_centroids_numpy(M, n_centroids, seed, max_iter, tol)
     C = ivf_centroids(dim, n_centroids, seed)
     vecs = emb.select(F.col(vec_col).alias("v")).persist()
     try:
@@ -744,6 +784,10 @@ def train_pq_codebooks(emb: DataFrame, m: int = 4, ksub: int = 16,
     loops. Pass tol=0.0 to force exactly max_iter iterations (oracle
     parity with an unrolled-SQL twin)."""
     dim = len(emb.select(vec_col).first()[0])
+    # volume-bounded driver path — see train_ivf_centroids
+    M = _collect_vectors(emb, vec_col, dim)
+    if M is not None:
+        return train_pq_codebooks_numpy(M, m, ksub, seed, max_iter, tol)
     B = pq_codebooks(dim, m, ksub, seed)
     dsub = dim // m
     vecs = emb.select(F.col(vec_col).alias("v")).persist()

@@ -1287,3 +1287,27 @@ def test_cosine_topk_batch_matches_singles(spark):
         cosine_topk_batch(emb, queries, k=0)
     with _pytest.raises(ValueError, match="non-empty"):
         cosine_topk_batch(emb, [])
+
+
+def test_trainer_driver_path_matches_distributed(spark, monkeypatch):
+    """r7 volume-bounded driver training: under the element budget both
+    trainers run the NumPy twin; forcing the budget to 0 must still run the
+    distributed mapInPandas trainers and agree to summation-order drift."""
+    import nextsearch_api_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(21)
+    M = rng.standard_normal((180, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(len(M))],
+        "vec_id long, embedding array<float>")
+    C_fast = sim.train_ivf_centroids(emb, n_centroids=5, seed=3, max_iter=4,
+                                     tol=0.0)
+    B_fast = sim.train_pq_codebooks(emb, m=4, ksub=8, seed=9, max_iter=3,
+                                    tol=0.0)
+    monkeypatch.setattr(sim, "DRIVER_TRAIN_MAX_ELEMS", 0)
+    C_dist = sim.train_ivf_centroids(emb, n_centroids=5, seed=3, max_iter=4,
+                                     tol=0.0)
+    B_dist = sim.train_pq_codebooks(emb, m=4, ksub=8, seed=9, max_iter=3,
+                                    tol=0.0)
+    assert np.allclose(C_fast, C_dist, atol=1e-9)
+    assert np.allclose(B_fast, B_dist, atol=1e-9)
