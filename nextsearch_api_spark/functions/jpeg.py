@@ -239,12 +239,21 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     frame = None  # (H, W, [(comp_id, h, v, tq), ...])
     i = 2
     n = len(buf)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if buf[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 1 < n and buf[i + 1] == 0xFF:
+            i += 1
         marker = buf[i + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn) carry no length field
+            i += 2
+            continue
+        if i + 4 > n:
+            raise ValueError("truncated JPEG marker segment")
         (seglen,) = struct.unpack_from(">H", buf, i + 2)
         body = buf[i + 4:i + 2 + seglen]
         if marker == 0xDB:  # DQT

@@ -197,17 +197,23 @@ class LazySuggester(_SuggestServing):
         hits += self._unranged
         pairs: list[tuple[int, str]] = []
         scanned = 0
-        for path, rg in hits:
-            pf = self._files.get(path)
-            if pf is None:
-                pf = pq.ParquetFile(path)
-                self._files[path] = pf
-            t = pf.read_row_group(rg, columns=["prefix", "term", "rnk"])
-            scanned += t.num_rows
-            match = t.filter(pc.equal(t.column("prefix"), tok))
-            pairs.extend(zip(match.column("rnk").to_pylist(),
-                             match.column("term").to_pylist()))
+        # the whole open+read loop holds self._lock: the Engine serves
+        # /api/suggest through ThreadingHTTPServer and pyarrow ParquetFile
+        # is NOT safe for concurrent reads on one shared handle — unlocked,
+        # concurrent suggests could crash or return corrupt candidate rows
+        # (ADVICE r6). Lookups touch ~1 row group, so the critical section
+        # is microseconds; the LRU cache above absorbs hot prefixes.
         with self._lock:
+            for path, rg in hits:
+                pf = self._files.get(path)
+                if pf is None:
+                    pf = pq.ParquetFile(path)
+                    self._files[path] = pf
+                t = pf.read_row_group(rg, columns=["prefix", "term", "rnk"])
+                scanned += t.num_rows
+                match = t.filter(pc.equal(t.column("prefix"), tok))
+                pairs.extend(zip(match.column("rnk").to_pylist(),
+                                 match.column("term").to_pylist()))
             self._io["row_groups_read"] += len(hits)
             self._io["rows_scanned"] += scanned
         return [t for _, t in sorted(pairs)]

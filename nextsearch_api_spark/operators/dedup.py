@@ -21,8 +21,14 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import threading
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# guards the persistent-RDD-id diff inside connected_components' checkpoint
+# bookkeeping against concurrent persists from other driver threads
+_CHECKPOINT_DIFF_LOCK = threading.Lock()
 
 
 def md5_long(col) -> "F.Column":
@@ -397,11 +403,17 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     def _checkpoint(df: DataFrame) -> "tuple[DataFrame, set]":
         # localCheckpoint() gives no handle on the blocks it pins; diff the
         # session's persistent-RDD ids around the call so the superseded
-        # round can be freed explicitly (single-writer per session — the
-        # only persist between the two snapshots is ours)
-        before = _persistent_ids()
-        out = df.localCheckpoint()
-        return out, _persistent_ids() - before
+        # round can be freed explicitly. The diff is only sound if nothing
+        # else persists between the two snapshots — the codebase itself runs
+        # concurrent stages in threads (build_index), so the window is
+        # guarded by a process-wide lock instead of an unenforced
+        # single-writer assumption (ADVICE r6: an unrelated localCheckpoint
+        # landing in the diff would be unpersisted mid-job, which for a
+        # lineage-truncated RDD is unrecoverable).
+        with _CHECKPOINT_DIFF_LOCK:
+            before = _persistent_ids()
+            out = df.localCheckpoint()
+            return out, _persistent_ids() - before
 
     def _free(ids: set) -> None:
         jmap = sc._jsc.getPersistentRDDs()
@@ -516,7 +528,15 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
     paras = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+            # sep is used as a LITERAL both here and in the array_join
+            # rebuild — \Q..\E quoting keeps the two consistent for
+            # regex-meaningful separators ('.', '||', ...), which previously
+            # split as a regex but rebuilt literally, corrupting clean_text
+            # for any sep other than the default '\n' (ADVICE r6)
+            F.posexplode(F.split(
+                F.col(text_col),
+                "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"))
+            .alias("pos", "para"),
         )
         .withColumn("key", F.lower(F.trim("para")))
         .where(F.col("key") != "")

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str = "user_id",
-              value_cols: "list[str] | None" = None) -> DataFrame:
+              value_cols: "list[str] | None" = None,
+              validate: bool = True) -> DataFrame:
     """Left as-of join: every ``left`` row gains the ``value_cols`` of the
     latest ``right`` row with ``right[on] <= left[on]`` and the same
     ``by`` key (NULLs where no prior right row exists).
@@ -35,19 +36,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     ``right`` must be unique on (by, on) — with duplicate right
     timestamps "the latest prior row" is ill-defined; pre-aggregate (as
     the gate entry does) or the carried values are pick-order dependent.
-    Raises if duplicates are detected (cheap agg on the right side only).
+    ``validate=True`` (default) detects duplicates eagerly with an extra
+    aggregation pass over the right side; pipelines that already guarantee
+    uniqueness (e.g. the output of a groupBy) pass ``validate=False`` to
+    skip that pass — at scale it doubles right-side reads (ADVICE/VERDICT
+    r6). The join itself is identical either way.
 
     Equal timestamps on opposite sides match (<=, DuckDB ASOF semantics):
     the union sorts right rows before left rows within a timestamp.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (by, on)]
-    dup = (right.groupBy(by, on).count().where(F.col("count") > 1).limit(1)
-           .count())
-    if dup:
+    clash = sorted(set(left.columns) & set(value_cols))
+    if clash:
+        # the final select emits both the left column and the carried right
+        # column under the same name — ambiguous downstream (ADVICE r6)
         raise ValueError(
-            f"asof_join: right side has duplicate ({by}, {on}) keys — "
-            "pre-aggregate to one row per key/timestamp")
+            f"asof_join: left already has column(s) {clash} that the right "
+            "side would carry — rename or drop one side")
+    if validate:
+        dup = (right.groupBy(by, on).count()
+               .where(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                f"asof_join: right side has duplicate ({by}, {on}) keys — "
+                "pre-aggregate to one row per key/timestamp")
     left_cols = [c for c in left.columns if c not in (by,)]
     l = left.select(
         F.col(by), *[F.col(c) for c in left_cols],

@@ -1311,3 +1311,51 @@ def test_trainer_driver_path_matches_distributed(spark, monkeypatch):
                                     tol=0.0)
     assert np.allclose(C_fast, C_dist, atol=1e-9)
     assert np.allclose(B_fast, B_dist, atol=1e-9)
+
+
+def test_jpeg_marker_fill_bytes_and_standalone_markers():
+    """T.81 §B.1.1.2: 0xFF fill bytes may pad before any marker, and
+    standalone markers (TEM 0x01) carry no length — both spec-legal streams
+    must decode identically (ADVICE r6)."""
+    from nextsearch_api_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    buf = encode_jpeg(img, quality=90)
+    base = decode_jpeg(buf)
+    # inject fill bytes + a TEM standalone marker after SOI
+    padded = buf[:2] + b"\xff" + b"\xff\x01" + buf[2:]
+    assert np.array_equal(decode_jpeg(padded), base)
+
+
+def test_asof_join_rejects_clashing_value_columns(spark):
+    """A left column with the same name as a carried right value column
+    would produce a duplicate output name — rejected (ADVICE r6); and
+    validate=False skips the duplicate-check pass but joins identically."""
+    from nextsearch_api_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5.0)], "user_id long, ts long, value double")
+    right = spark.createDataFrame(
+        [(1, 9, 7.0)], "user_id long, ts long, value double")
+    with pytest.raises(ValueError, match="value"):
+        asof_join(left, right)
+    ok_l = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    a = asof_join(ok_l, right).collect()
+    b = asof_join(ok_l, right, validate=False).collect()
+    assert a == b and a[0]["value"] == 7.0
+
+
+def test_paragraph_dedup_regex_meaningful_separator(spark):
+    """split and rebuild must agree for regex-meaningful separators: '.'
+    previously split on EVERY character (regex any-char) while rebuilding
+    with literal dots (ADVICE r6)."""
+    from nextsearch_api_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha.beta"), (2, "alpha.gamma")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, sep=".").collect()}
+    assert out[1]["clean_text"] == "alpha.beta" and out[1]["n_paras"] == 2
+    assert out[2]["clean_text"] == "gamma"       # 'alpha' deduped
+    assert out[2]["n_removed"] == 1
