@@ -660,6 +660,97 @@ def build_ivf_index(emb: DataFrame, out_path: str, n_centroids: int = 16,
     return C
 
 
+# driver-side ANN-probe budget: probed-partition row count (from parquet
+# footers — free) and post-read element count under which the probe is
+# answered on the driver instead of a Spark job over the pruned scan
+_PROBE_DRIVER_MAX_ROWS = 100_000
+_PROBE_DRIVER_MAX_ELEMS = 16_000_000
+
+
+def _round_half_up(values: np.ndarray, digits: int) -> np.ndarray:
+    """Exact twin of Spark's round() on doubles: BigDecimal.valueOf uses the
+    shortest round-trip decimal (== Python repr), then HALF_UP at ``digits``.
+    Applied only to ≤k-ish candidate sets — Python decimal cost is nil."""
+    from decimal import ROUND_HALF_UP, Decimal
+    q = Decimal(1).scaleb(-digits)
+    return np.array([float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+                     for x in values], dtype=np.float64)
+
+
+def _driver_probe_topk(spark, index_path: str, part_col: str,
+                       part_vals: "list[int]", query_vec: "list[float]",
+                       k: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> "DataFrame | None":
+    """Volume-bounded driver-side twin of ``cosine_topk`` over a
+    partition-pruned ANN probe → (rank, vec_id, cos_sim) DataFrame, or None
+    to fall back to the distributed scan (over budget / nulls / ragged).
+
+    Exactness vs the JVM expressions of cosine_scores: dot and norm are
+    LEFT-TO-RIGHT sequential float64 folds — emulated column-by-column, so
+    each row's accumulation order is identical to the ``aggregate`` fold —
+    the zero-norm guard is the same ``denom > 0``, candidate selection uses
+    a raw-score slack (kth − 1e-9) that provably covers every row the
+    round-9 ordering can rank into the top-k, and the final round-9 tie key
+    / round-6 output use the exact HALF_UP decimal rounding Spark's round()
+    applies (see _round_half_up). One footer-counted pyarrow read replaces
+    a 256-partition-dir listing plus a Spark job per probe."""
+    try:
+        import pyarrow.dataset as pads
+        ds = pads.dataset(index_path, format="parquet", partitioning="hive")
+        names = set(ds.schema.names)
+        if part_col not in names or id_col not in names \
+                or vec_col not in names:
+            return None
+        filt = pads.field(part_col).isin([int(v) for v in part_vals])
+        if ds.count_rows(filter=filt) > _PROBE_DRIVER_MAX_ROWS:
+            return None
+        t = ds.to_table(columns=[id_col, vec_col], filter=filt)
+    except Exception:
+        return None
+    col = t.column(vec_col).combine_chunks()
+    n = len(col)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, cos_sim double")
+    if col.null_count:
+        return None
+    try:
+        vals = col.values.to_numpy(zero_copy_only=False)
+        if vals.size > _PROBE_DRIVER_MAX_ELEMS or vals.size % n:
+            return None
+        V = vals.astype(np.float64).reshape(n, vals.size // n)
+    except Exception:
+        return None
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if V.shape[1] != len(q):
+        return None
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    dot = np.zeros(n, dtype=np.float64)
+    nv = np.zeros(n, dtype=np.float64)
+    for j in range(V.shape[1]):  # left-to-right fold, as the JVM aggregate
+        dot += V[:, j] * q[j]
+        nv += V[:, j] * V[:, j]
+    qn = 0.0
+    for x in q:
+        qn += x * x
+    denom = np.sqrt(nv) * float(np.sqrt(qn))
+    ok = denom > 0
+    cos, ids = dot[ok] / denom[ok], ids[ok]
+    if not len(cos):
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, cos_sim double")
+    if len(cos) > k:
+        kth = np.partition(cos, len(cos) - k)[len(cos) - k]
+        keep = cos >= kth - 1e-9  # superset of the round-9 top-k
+        cos, ids = cos[keep], ids[keep]
+    cr = _round_half_up(cos, 9)
+    order = np.lexsort((ids, -cr))[:k]
+    c6 = _round_half_up(cos[order], 6)
+    out = [(i + 1, int(ids[j]), float(c6[i]))
+           for i, j in enumerate(order)]
+    return spark.createDataFrame(out, "rank int, vec_id long, cos_sim double")
+
+
 def ivf_topk(spark, index_path: str, centroids: np.ndarray,
              query_vec: list[float], k: int = 10, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -670,6 +761,10 @@ def ivf_topk(spark, index_path: str, centroids: np.ndarray,
     dots = centroids @ (qv / qn if qn else qv)
     order = np.lexsort((np.arange(len(dots)), -dots))
     probe = sorted(int(c) for c in order[:nprobe])
+    fast = _driver_probe_topk(spark, index_path, "cell", probe,
+                              list(map(float, qv)), k, id_col, vec_col)
+    if fast is not None:
+        return fast
     df = spark.read.parquet(index_path).where(
         F.col("cell").isin(probe)  # → partition pruning
     )
@@ -904,6 +999,10 @@ def ann_lsh_topk(spark, index_path: str, planes: np.ndarray,
     if multiprobe >= 1:
         for i in range(planes.shape[0]):
             buckets.add(base ^ (1 << i))
+    fast = _driver_probe_topk(spark, index_path, "bucket", sorted(buckets),
+                              list(map(float, qv)), k, id_col, vec_col)
+    if fast is not None:
+        return fast
     df = spark.read.parquet(index_path).where(
         F.col("bucket").isin(sorted(buckets))  # → partition pruning
     )
