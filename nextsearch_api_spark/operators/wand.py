@@ -377,16 +377,12 @@ class WandEngine:
     # vectorized: per-term np.add.at into a dense score accumulator, bounded
     # top-k via argpartition — the in-process ground truth for WAND.
     def _decode_terms(self, cursors, blob_cache) -> list:
-        """Per-term (doc_ids, impacts) for all cursors; multi-term queries
-        decode in a small thread pool — the varbyte/astype kernels release
-        the GIL, so the per-query decode wall divides by ~the term count."""
-        if len(cursors) <= 1:
-            return [self._decode_term_all(blob_cache[c.term])
-                    for c in cursors]
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(min(8, len(cursors))) as pool:
-            return list(pool.map(
-                lambda c: self._decode_term_all(blob_cache[c.term]), cursors))
+        """Per-term (doc_ids, impacts) for all cursors, decoded serially.
+        (A per-query thread pool was measured here and REMOVED: on 2-4 term
+        queries the pool start-up plus GIL hand-offs around the short numpy
+        kernels cost 15-25 ms/query — serial decode won on every bench
+        query, e.g. 2-term 42 ms threaded vs 21 ms serial.)"""
+        return [self._decode_term_all(blob_cache[c.term]) for c in cursors]
 
     def _exhaustive(self, query, k, cursors, blob_cache) -> dict:
         max_doc = max(int(c.doc_hi[-1]) for c in cursors)
@@ -394,11 +390,17 @@ class WandEngine:
         if max_doc <= self.DENSE_LIMIT:
             scores = np.zeros(max_doc + 1, dtype=np.float64)
             for cur, (doc_ids, imp) in zip(cursors, decoded):
-                # one posting per (term, doc) ⇒ bincount's per-slot sum is
-                # the single contribution — bit-identical to add.at, ~5×
-                # faster (buffered C loop)
-                scores += np.bincount(doc_ids, weights=imp.astype(np.float64) * cur.widf,
-                                      minlength=max_doc + 1)
+                contrib = imp.astype(np.float64) * cur.widf
+                # one posting per (term, doc) ⇒ both accumulators assign the
+                # single contribution — bit-identical. bincount's buffered C
+                # loop wins for dense terms but allocates and adds a full
+                # max_doc-wide array, so sparse (rare-term) postings keep the
+                # element-proportional add.at
+                if len(doc_ids) * 16 >= max_doc:
+                    scores += np.bincount(doc_ids, weights=contrib,
+                                          minlength=max_doc + 1)
+                else:
+                    np.add.at(scores, doc_ids, contrib)
             matched = np.nonzero(scores)[0]
             found = int(matched.size)
             if found == 0:
