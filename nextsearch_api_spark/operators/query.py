@@ -215,14 +215,16 @@ _MULTI_PRUNE_RANGE_BUDGET = 200_000
 # query batch's present terms — known EXACTLY from the lexicon before any
 # data is read) for which the batch tier answers from a bounded pyarrow
 # read + NumPy TAAT on the driver instead of a 3-job distributed plan.
-# 4M postings ≈ a few tens of MB of row-group-pruned blob reads and well
-# under a second of thread-parallel decode+score — below the distributed
-# plan's multi-job scheduling floor — while a hot term on a 100 TB corpus
-# blows the budget immediately and keeps the distributed plan. The same
-# volume-bounded driver-lookup pattern as term_dfs / chunk_meta /
+# 8M postings ≈ tens of MB of row-group-pruned blob reads and ~1-1.5 s of
+# thread-parallel decode+score — still under the distributed plan's
+# multi-job floor plus its own Python-stage decode of the same volume (the
+# measured crossover is in the tens of millions of postings; 8M keeps a
+# healthy margin on the driver side of it) — while a hot term on a 100 TB
+# corpus blows the budget immediately and keeps the distributed plan. The
+# same volume-bounded driver-lookup pattern as term_dfs / chunk_meta /
 # HYDRATE_PUSHDOWN_MAX_IDS; nothing is memoized — every call re-reads the
 # parquet postings.
-SMALL_QUERY_MAX_POSTINGS = 4_000_000
+SMALL_QUERY_MAX_POSTINGS = 8_000_000
 
 
 def _plan_chunk_prune(
