@@ -55,6 +55,25 @@ def cosine_scores(emb: DataFrame, query_vec: list[float],
     return j.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
 
 
+def _local_rank_frame(spark, rows: "list[tuple]",
+                      val_col: str = "cos_sim") -> DataFrame:
+    """≤k driver-assembled (rank, vec_id, value) rows → LocalRelation via a
+    SQL VALUES literal. createDataFrame(list) parallelizes a Python RDD, so
+    even a collect()/count() on the k-row result pays a 1-task job plus a
+    Py4J round-trip (~0.3-0.4 s measured warm on this setup); a VALUES
+    LocalRelation collects job-free. Scores embed via repr(): the shortest
+    round-trip decimal parses back to the identical IEEE-754 double (same
+    convention as query._local_result_frame)."""
+    if not rows:
+        return spark.createDataFrame(
+            [], f"rank int, vec_id long, {val_col} double")
+    vals = ", ".join(f"({r}, {v}L, CAST({s!r} AS DOUBLE))"
+                     for r, v, s in rows)
+    return spark.sql(
+        f"SELECT col1 AS rank, col2 AS vec_id, col3 AS {val_col} "
+        f"FROM VALUES {vals}")
+
+
 def topk_frame(sims: DataFrame, k: int) -> DataFrame:
     """Distributed bounded top-k over (vec_id, cos): Catalyst plans
     orderBy+limit as TakeOrderedAndProject (per-partition heap + driver
@@ -84,9 +103,7 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     rows.sort(key=lambda r: (-r["_cr"], r["vec_id"]))
     out = [(i + 1, int(r["vec_id"]), float(r["cos_sim"]))
            for i, r in enumerate(rows)]
-    return emb.sparkSession.createDataFrame(
-        out, "rank int, vec_id long, cos_sim double"
-    )
+    return _local_rank_frame(emb.sparkSession, out)
 
 
 def cosine_topk_batch(emb: DataFrame, queries: "list[tuple[int, list[float]]]",
@@ -748,7 +765,7 @@ def _driver_probe_topk(spark, index_path: str, part_col: str,
     c6 = _round_half_up(cos[order], 6)
     out = [(i + 1, int(ids[j]), float(c6[i]))
            for i, j in enumerate(order)]
-    return spark.createDataFrame(out, "rank int, vec_id long, cos_sim double")
+    return _local_rank_frame(spark, out)
 
 
 def ivf_topk(spark, index_path: str, centroids: np.ndarray,
@@ -980,8 +997,7 @@ def pq_adc_topk(codes_df: DataFrame, codebooks: np.ndarray,
     rows.sort(key=lambda r: (-r["_cr"], r["vec_id"]))
     out = [(i + 1, int(r["vec_id"]), float(r["adc_cos"]))
            for i, r in enumerate(rows)]
-    return codes_df.sparkSession.createDataFrame(
-        out, "rank int, vec_id long, adc_cos double")
+    return _local_rank_frame(codes_df.sparkSession, out, val_col="adc_cos")
 
 
 def ann_lsh_topk(spark, index_path: str, planes: np.ndarray,
