@@ -74,6 +74,16 @@ def _local_rank_frame(spark, rows: "list[tuple]",
         f"FROM VALUES {vals}")
 
 
+# driver-side exact-cosine budget: embedding-element count (rows × dim,
+# rows from parquet footers — free) under which cosine_topk/_batch answer
+# from one bounded Arrow collect + the bit-exact NumPy twin instead of a
+# distributed job; matches the ANN probe budget (_PROBE_DRIVER_MAX_ELEMS).
+# ~16M float64 elements ≈ 128 MB — trivial for the driver, while any real
+# corpus-scale embedding table blows it immediately and keeps the
+# scan-parallel distributed plan.
+_COSINE_DRIVER_MAX_ELEMS = 16_000_000
+
+
 def topk_frame(sims: DataFrame, k: int) -> DataFrame:
     """Distributed bounded top-k over (vec_id, cos): Catalyst plans
     orderBy+limit as TakeOrderedAndProject (per-partition heap + driver
@@ -89,13 +99,31 @@ def topk_frame(sims: DataFrame, k: int) -> DataFrame:
 
 
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                driver_max_elems: "int | None" = None) -> DataFrame:
     """Exact cosine top-k vs one query vector.
 
     r1 shipped this as a global no-partition Window — a single-partition
     sort of ALL N similarities (VERDICT r1 'what's wrong' #1). Now the N-row
     phase is a distributed TakeOrderedAndProject; ranks are numbered on the
-    ≤k collected rows driver-side (k ≤ 100 — bounded)."""
+    ≤k collected rows driver-side (k ≤ 100 — bounded).
+
+    Volume-bounded driver fast path (r7): when parquet footers prove the
+    frame fits ``driver_max_elems`` (default _COSINE_DRIVER_MAX_ELEMS), the
+    scan is ONE column-pruned Arrow collect and the scoring runs in the
+    bit-exact NumPy twin _driver_cosine_rows — the same fold the hash-green
+    ANN probe entries already trust — skipping the per-row interpreted
+    zip_with/aggregate expressions and returning a job-free LocalRelation.
+    Over budget (any real corpus), the distributed plan is unchanged; pass
+    ``driver_max_elems=0`` to force it (parity tests)."""
+    budget = (_COSINE_DRIVER_MAX_ELEMS
+              if driver_max_elems is None else driver_max_elems)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    got = _collect_frame_vectors(emb, id_col, vec_col, len(q), budget)
+    if got is not None:
+        ids, V = got
+        return _local_rank_frame(
+            emb.sparkSession, _driver_cosine_rows(ids, V, q, k))
     sims = cosine_scores(emb, query_vec, id_col, vec_col)
     rows = topk_frame(sims, k).collect()
     # rows arrive ordered, but re-sort on the same canonical key anyway —
@@ -106,9 +134,24 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return _local_rank_frame(emb.sparkSession, out)
 
 
+def _local_batch_rank_frame(spark, rows: "list[tuple]") -> DataFrame:
+    """≤k·Q driver-assembled (qid, rank, vec_id, cos_sim) rows →
+    LocalRelation (see _local_rank_frame for why VALUES, not
+    createDataFrame)."""
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid long, rank int, vec_id long, cos_sim double")
+    vals = ", ".join(f"({q}L, {r}, {v}L, CAST({s!r} AS DOUBLE))"
+                     for q, r, v, s in rows)
+    return spark.sql(
+        f"SELECT col1 AS qid, col2 AS rank, col3 AS vec_id, "
+        f"col4 AS cos_sim FROM VALUES {vals}")
+
+
 def cosine_topk_batch(emb: DataFrame, queries: "list[tuple[int, list[float]]]",
                       k: int = 10, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      driver_max_elems: "int | None" = None) -> DataFrame:
     """Exact cosine top-k for MANY query vectors in ONE Spark plan — the
     vector analog of query.batch_search: Q queries share one scan instead
     of Q jobs.
@@ -127,6 +170,25 @@ def cosine_topk_batch(emb: DataFrame, queries: "list[tuple[int, list[float]]]",
     if not queries:
         raise ValueError("queries must be non-empty")
     spark = emb.sparkSession
+    # volume-bounded driver fast path (r7): ONE bounded Arrow collect shared
+    # by ALL Q queries, scored per query by the bit-exact NumPy twin (see
+    # cosine_topk) — replaces a Python-stage prune + broadcast join + window
+    # job with a job-free LocalRelation. Duplicate qids keep the distributed
+    # plan (its window ranks the union of their rows; the twin would rank
+    # each copy separately).
+    budget = (_COSINE_DRIVER_MAX_ELEMS
+              if driver_max_elems is None else driver_max_elems)
+    dims = {len(v) for _, v in queries}
+    if len(dims) == 1 and len({int(q) for q, _ in queries}) == len(queries):
+        got = _collect_frame_vectors(emb, id_col, vec_col, dims.pop(), budget)
+        if got is not None:
+            ids, V = got
+            out = []
+            for qid, v in queries:
+                q = np.asarray([float(x) for x in v], dtype=np.float64)
+                out.extend((int(qid), r, vid, c6)
+                           for r, vid, c6 in _driver_cosine_rows(ids, V, q, k))
+            return _local_batch_rank_frame(spark, out)
     qdf = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in queries],
         "qid long, qv array<double>")
@@ -694,6 +756,96 @@ def _round_half_up(values: np.ndarray, digits: int) -> np.ndarray:
                      for x in values], dtype=np.float64)
 
 
+def _driver_cosine_rows(ids: np.ndarray, V: np.ndarray, q: np.ndarray,
+                        k: int) -> "list[tuple[int, int, float]]":
+    """Bit-exact driver twin of the cosine_scores → topk_frame pipeline over
+    an already-collected (ids, V) block → [(rank, vec_id, cos_sim)].
+
+    Exactness vs the JVM expressions: dot and norm are LEFT-TO-RIGHT
+    sequential float64 folds — emulated column-by-column, so each row's
+    accumulation order is identical to the ``aggregate`` fold — the
+    zero-norm guard is the same ``denom > 0``, candidate selection uses a
+    raw-score slack (kth − 1e-9) that provably covers every row the round-9
+    ordering can rank into the top-k, and the final round-9 tie key /
+    round-6 output use the exact HALF_UP decimal rounding Spark's round()
+    applies (see _round_half_up)."""
+    n = len(ids)
+    dot = np.zeros(n, dtype=np.float64)
+    nv = np.zeros(n, dtype=np.float64)
+    for j in range(V.shape[1]):  # left-to-right fold, as the JVM aggregate
+        dot += V[:, j] * q[j]
+        nv += V[:, j] * V[:, j]
+    qn = 0.0
+    for x in q:
+        qn += x * x
+    denom = np.sqrt(nv) * float(np.sqrt(qn))
+    ok = denom > 0
+    cos, ids = dot[ok] / denom[ok], ids[ok]
+    if not len(cos):
+        return []
+    if len(cos) > k:
+        kth = np.partition(cos, len(cos) - k)[len(cos) - k]
+        keep = cos >= kth - 1e-9  # superset of the round-9 top-k
+        cos, ids = cos[keep], ids[keep]
+    cr = _round_half_up(cos, 9)
+    order = np.lexsort((ids, -cr))[:k]
+    c6 = _round_half_up(cos[order], 6)
+    return [(i + 1, int(ids[j]), float(c6[i]))
+            for i, j in enumerate(order)]
+
+
+def _collect_frame_vectors(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                           max_elems: int
+                           ) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Volume-bounded (ids int64, V float64[n, dim]) collect of an embedding
+    frame for the driver-side cosine twin, or None to go distributed.
+
+    The budget gate never spends a job: parquet-footer row counts (free)
+    when the frame is a parquet file scan, else the Catalyst optimized
+    plan's row-count statistic (~2 ms via Py4J) — exact for a MATERIALIZED
+    cached frame (inputFiles() is empty once an InMemoryRelation takes
+    over), an estimate propagated from exact leaves otherwise, and absent
+    (→ distributed) for lazy caches and shapes Catalyst can't count.
+    Footers/estimates over-count filtered frames, which only makes the
+    gate conservative. The collect itself is ``toArrow()`` — it executes
+    the frame's own plan (filters, cache), one column-pruned JVM-only job.
+    Nulls, ragged rows, or a non-integer id column also fall back."""
+    try:
+        files = df.inputFiles()
+        if files and all(f.endswith(".parquet") for f in files):
+            import pyarrow.dataset as pads
+            n_est = pads.dataset(
+                [f.replace("file:", "") for f in files]).count_rows()
+        else:
+            rc = (df._jdf.queryExecution()  # noqa: SLF001
+                  .optimizedPlan().stats().rowCount())
+            if rc.isEmpty():
+                return None
+            n_est = int(rc.get())
+        if n_est * dim > max_elems:
+            return None
+        t = df.select(id_col, vec_col).toArrow()
+        col = t.column(vec_col).combine_chunks()
+        n = len(col)
+        if n == 0:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros((0, dim), dtype=np.float64))
+        if col.null_count:
+            return None
+        import pyarrow.compute as pc
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if (lens != dim).any():
+            return None  # ragged / wrong-width rows → distributed plan
+        vals = col.values.to_numpy(zero_copy_only=False)
+        V = vals.astype(np.float64).reshape(n, dim)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(ids.dtype, np.integer):
+            return None
+        return ids.astype(np.int64), V
+    except Exception:
+        return None
+
+
 def _driver_probe_topk(spark, index_path: str, part_col: str,
                        part_vals: "list[int]", query_vec: "list[float]",
                        k: int, id_col: str = "vec_id",
@@ -742,29 +894,7 @@ def _driver_probe_topk(spark, index_path: str, part_col: str,
     if V.shape[1] != len(q):
         return None
     ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    dot = np.zeros(n, dtype=np.float64)
-    nv = np.zeros(n, dtype=np.float64)
-    for j in range(V.shape[1]):  # left-to-right fold, as the JVM aggregate
-        dot += V[:, j] * q[j]
-        nv += V[:, j] * V[:, j]
-    qn = 0.0
-    for x in q:
-        qn += x * x
-    denom = np.sqrt(nv) * float(np.sqrt(qn))
-    ok = denom > 0
-    cos, ids = dot[ok] / denom[ok], ids[ok]
-    if not len(cos):
-        return spark.createDataFrame(
-            [], "rank int, vec_id long, cos_sim double")
-    if len(cos) > k:
-        kth = np.partition(cos, len(cos) - k)[len(cos) - k]
-        keep = cos >= kth - 1e-9  # superset of the round-9 top-k
-        cos, ids = cos[keep], ids[keep]
-    cr = _round_half_up(cos, 9)
-    order = np.lexsort((ids, -cr))[:k]
-    c6 = _round_half_up(cos[order], 6)
-    out = [(i + 1, int(ids[j]), float(c6[i]))
-           for i, j in enumerate(order)]
+    out = _driver_cosine_rows(ids, V, q, k)
     return _local_rank_frame(spark, out)
 
 

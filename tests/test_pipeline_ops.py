@@ -1313,6 +1313,59 @@ def test_trainer_driver_path_matches_distributed(spark, monkeypatch):
     assert np.allclose(B_fast, B_dist, atol=1e-9)
 
 
+def test_cosine_driver_path_matches_distributed(spark, tmp_path):
+    """r7 volume-bounded driver cosine: over a parquet-backed frame the
+    fast path (one Arrow collect + the NumPy twin) must return row-for-row
+    identical results to the forced-distributed plan (driver_max_elems=0),
+    for singles and batches, across zero-norm rows/queries, duplicate ids,
+    exact-match ties and k > n; the fast-path result must plan as a
+    LocalTableScan (no Exchange, no Python eval)."""
+    from nextsearch_api_spark.operators.similarity import (
+        cosine_topk, cosine_topk_batch)
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 12
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    M[5] = 0.0            # zero-norm row: never ranked
+    M[100] = M[50]        # duplicate vector → round-9 tie
+    rows = [(i % 350, [float(x) for x in M[i]]) for i in range(n)]  # dup ids
+    path = str(tmp_path / "cosemb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").write.parquet(path)
+    emb = spark.read.parquet(path)
+
+    queries = [(i, [float(x) for x in rng.standard_normal(dim)])
+               for i in range(4)]
+    queries.append((4, [0.0] * dim))               # zero-norm query
+    queries.append((5, [float(x) for x in M[50]]))  # tie-heavy query
+    for _, qv in queries:
+        for k in (1, 7, 1000):
+            fast = sorted(map(tuple, cosine_topk(emb, qv, k=k).collect()))
+            dist = sorted(map(tuple, cosine_topk(
+                emb, qv, k=k, driver_max_elems=0).collect()))
+            assert fast == dist
+    fast = sorted(map(tuple, cosine_topk_batch(emb, queries, k=7).collect()))
+    dist = sorted(map(tuple, cosine_topk_batch(
+        emb, queries, k=7, driver_max_elems=0).collect()))
+    assert fast == dist
+
+    sc = spark.sparkContext
+    for df in (cosine_topk(emb, queries[0][1], k=5),
+               cosine_topk_batch(emb, queries[:2], k=5)):
+        plan = sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted")  # noqa: SLF001
+        assert "LocalTableScan" in plan
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+    # duplicate qids must keep the distributed plan (the window ranks the
+    # union of their rows — the driver twin would rank each copy alone)
+    dup = cosine_topk_batch(emb, [(1, queries[0][1]), (1, queries[1][1])], k=3)
+    plan = sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        dup._jdf.queryExecution(), "formatted")  # noqa: SLF001
+    assert "LocalTableScan" not in plan
+
+
 def test_jpeg_marker_fill_bytes_and_standalone_markers():
     """T.81 §B.1.1.2: 0xFF fill bytes may pad before any marker, and
     standalone markers (TEM 0x01) carry no length — both spec-legal streams
