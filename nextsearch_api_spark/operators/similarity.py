@@ -642,10 +642,18 @@ def _collect_vectors(emb: DataFrame, vec_col: str,
                      dim: int) -> "np.ndarray | None":
     """One column-pruned Arrow collect of a SMALL embedding column →
     (n, dim) float64 matrix, or None when the frame exceeds the driver
-    budget / has nulls / is ragged (callers then train distributed)."""
+    budget / has nulls / is ragged (callers then train distributed).
+
+    The row count for the budget gate prefers the Catalyst optimized plan's
+    row-count statistic — job-free, ~2 ms, and exact for materialized
+    caches (r7: the bench trainers run over a cached frame, whose
+    _fast_count fallback was a count() job per training call) — before
+    _fast_count's footer-then-count() ladder."""
     from nextsearch_api_spark.operators.build import _fast_count
     try:
-        n = _fast_count(emb)
+        rc = (emb._jdf.queryExecution()  # noqa: SLF001
+              .optimizedPlan().stats().rowCount())
+        n = int(rc.get()) if not rc.isEmpty() else _fast_count(emb)
     except Exception:
         return None
     if n == 0 or n * dim > DRIVER_TRAIN_MAX_ELEMS:
