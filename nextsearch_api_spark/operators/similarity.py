@@ -55,6 +55,13 @@ def cosine_scores(emb: DataFrame, query_vec: list[float],
     return j.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
 
 
+# VALUES-literal ceiling for driver-assembled result frames: the SQL parse
+# is ~linear in tuples (measured ~1.5 s at 20k), so beyond a few thousand
+# rows createDataFrame's RDD job (~0.3-0.4 s flat) is the cheaper handoff.
+# Typical results are ≤ k ≤ 100 rows — far under it either way.
+_VALUES_MAX_ROWS = 2000
+
+
 def _local_rank_frame(spark, rows: "list[tuple]",
                       val_col: str = "cos_sim") -> DataFrame:
     """≤k driver-assembled (rank, vec_id, value) rows → LocalRelation via a
@@ -64,9 +71,9 @@ def _local_rank_frame(spark, rows: "list[tuple]",
     LocalRelation collects job-free. Scores embed via repr(): the shortest
     round-trip decimal parses back to the identical IEEE-754 double (same
     convention as query._local_result_frame)."""
-    if not rows:
+    if not rows or len(rows) > _VALUES_MAX_ROWS:
         return spark.createDataFrame(
-            [], f"rank int, vec_id long, {val_col} double")
+            rows, f"rank int, vec_id long, {val_col} double")
     vals = ", ".join(f"({r}, {v}L, CAST({s!r} AS DOUBLE))"
                      for r, v, s in rows)
     return spark.sql(
@@ -138,9 +145,9 @@ def _local_batch_rank_frame(spark, rows: "list[tuple]") -> DataFrame:
     """≤k·Q driver-assembled (qid, rank, vec_id, cos_sim) rows →
     LocalRelation (see _local_rank_frame for why VALUES, not
     createDataFrame)."""
-    if not rows:
+    if not rows or len(rows) > _VALUES_MAX_ROWS:
         return spark.createDataFrame(
-            [], "qid long, rank int, vec_id long, cos_sim double")
+            rows, "qid long, rank int, vec_id long, cos_sim double")
     vals = ", ".join(f"({q}L, {r}, {v}L, CAST({s!r} AS DOUBLE))"
                      for q, r, v, s in rows)
     return spark.sql(
