@@ -125,6 +125,8 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     ``driver_max_elems=0`` to force it (parity tests)."""
     budget = (_COSINE_DRIVER_MAX_ELEMS
               if driver_max_elems is None else driver_max_elems)
+    if k < 0:
+        budget = 0  # negative k: keep the distributed path's limit() error
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     got = _collect_frame_vectors(emb, id_col, vec_col, len(q), budget)
     if got is not None:
