@@ -1313,6 +1313,59 @@ def test_trainer_driver_path_matches_distributed(spark, monkeypatch):
     assert np.allclose(B_fast, B_dist, atol=1e-9)
 
 
+def test_minhash_arrow_kernel_edge_shapes(spark):
+    """r7 Arrow-native minhash kernel: the zero-copy slice/join/mask window
+    math must agree with a pure-Python md5 reference on every edge shape —
+    null text (per-batch fallback branch), empty/one-token docs, exactly-n
+    tokens, duplicate doc_ids (min over the union of copies' shingles),
+    punctuation-split tokens — across shingle_n 1/2/3 and tiny Arrow
+    batches that force multi-batch row slicing."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from nextsearch_api_spark.operators.dedup import minhash_signatures
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, None),
+        (2, ""),
+        (3, "one"),
+        (4, "a1 b2 c3"),
+        (5, "alpha beta gamma delta"),
+        (0, "zeta eta theta iota"),
+        (6, "x!!y??z, w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pymin(texts, n, H):
+        sh = set()
+        for t in texts:
+            if t is None:
+                continue
+            tk = [x for x in re.split("[^a-z0-9]+", t.lower()) if x]
+            sh |= {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+        if not sh:
+            return None
+        return tuple(
+            min(int(hashlib.md5(f"{s}:{x}".encode()).hexdigest()[:15], 16)
+                for x in sh) for s in range(H))
+
+    byid = defaultdict(list)
+    for i, t in rows:
+        byid[i].append(t)
+    for nh, sn in ((4, 3), (2, 1), (3, 2)):
+        got = defaultdict(dict)
+        for r in minhash_signatures(df, num_hashes=nh,
+                                    shingle_n=sn).collect():
+            got[r["doc_id"]][r["seed"]] = r["minhash"]
+        out = {i: tuple(d[s] for s in range(nh)) for i, d in got.items()}
+        exp = {i: v for i, v in
+               ((i, pymin(ts, sn, nh)) for i, ts in byid.items())
+               if v is not None}
+        assert out == exp, (nh, sn)
+
+
 def test_cosine_driver_path_matches_distributed(spark, tmp_path):
     """r7 volume-bounded driver cosine: over a parquet-backed frame the
     fast path (one Arrow collect + the NumPy twin) must return row-for-row
