@@ -504,10 +504,13 @@ def _driver_small_search(reader: IndexReader, present: "list[str]",
     from nextsearch_api_spark.functions.codec import decode_chunks_concat
 
     terms_col = t.column("term").to_pylist()
-    blobs = t.column("blob").to_pylist()
-    tf_offs = t.column("tf_off").to_pylist()
-    dl_offs = t.column("dl_off").to_pylist()
-    counts = t.column("count").to_pylist()
+    # blobs stay Arrow: BinaryScalar.as_buffer() is a zero-copy view and
+    # decode_chunks_concat slices via memoryview — to_pylist() copied every
+    # blob into Python bytes (~MBs per hot term) before decoding
+    blob_arr = t.column("blob").combine_chunks()
+    tf_offs = t.column("tf_off").to_numpy(zero_copy_only=False)
+    dl_offs = t.column("dl_off").to_numpy(zero_copy_only=False)
+    counts = t.column("count").to_numpy(zero_copy_only=False)
     rows_by_term: dict[str, list[int]] = {}
     for i, term in enumerate(terms_col):
         rows_by_term.setdefault(term, []).append(i)
@@ -522,7 +525,8 @@ def _driver_small_search(reader: IndexReader, present: "list[str]",
     def _decode_term(term: str) -> tuple[str, np.ndarray, np.ndarray]:
         idxs = rows_by_term[term]
         ids, tfs, dls = decode_chunks_concat(
-            [blobs[i] for i in idxs], [tf_offs[i] for i in idxs],
+            [blob_arr[i].as_buffer() for i in idxs],
+            [tf_offs[i] for i in idxs],
             [dl_offs[i] for i in idxs], [counts[i] for i in idxs])
         if f32:
             tfv = tfs.astype(np.float32)
